@@ -1,0 +1,208 @@
+"""1-D convolutions with optional weight normalization, channels-last.
+
+Behavioral parity targets (for checkpoint/numerics parity with the
+reference, NOT a code translation):
+  - reference ``PReLU_Conv`` (open_universe/networks/universe/blocks.py:137-231)
+    pads the input on the right to a multiple of the stride before a strided
+    conv, and uses ``kernel_size == stride`` "patch" convolutions for rate
+    changes.
+  - torch ``Conv1d(padding="same")`` for odd kernels == symmetric zero pad.
+  - weight norm: w = g * v / ||v||, norm taken per output channel.
+
+TPU notes: a stride-R kernel-R conv is a pure reshape + matmul; XLA lowers
+``lax.conv_general_dilated`` with NWC/WIO dimension numbers onto the MXU.
+"""
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _same_pads(kernel_size: int, dilation: int = 1) -> tuple:
+    """Symmetric padding identical to torch Conv1d(padding="same")."""
+    eff = dilation * (kernel_size - 1)
+    lo = eff // 2
+    return (lo, eff - lo)
+
+
+def conv1d(x, kernel, stride: int = 1, padding="VALID", dilation: int = 1,
+           groups: int = 1):
+    """Convolve ``x (B, T, Cin)`` with ``kernel (W, Cin//groups, Cout)``."""
+    if isinstance(padding, str):
+        pad = padding
+    else:
+        pad = [tuple(padding)]
+    return jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride,),
+        padding=pad if not isinstance(pad, str) else pad,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+    )
+
+
+def conv_transpose1d(x, kernel, stride: int = 1):
+    """Transposed conv, torch ConvTranspose1d semantics with padding=0.
+
+    ``x (B, T, Cin)``, ``kernel (W, Cin, Cout)`` -> ``(B, (T-1)*stride + W, Cout)``.
+    Implemented as input-dilated convolution with a spatially-flipped kernel,
+    which XLA fuses into a single MXU-friendly conv.
+    """
+    w = kernel[::-1]  # flip taps: transposed conv correlates with flipped kernel
+    k = w.shape[0]
+    return jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1,),
+        padding=[(k - 1, k - 1)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+
+
+def prelu(x, alpha):
+    """PReLU with scalar or per-channel alpha (torch.nn.PReLU semantics)."""
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+class PReLU(nn.Module):
+    """Parametric ReLU; ``num_parameters=1`` scalar slope like torch default."""
+    num_parameters: int = 1
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param(
+            "alpha", lambda k: jnp.full((self.num_parameters,), self.init, jnp.float32)
+        )
+        if self.num_parameters == 1:
+            a = alpha[0]
+        else:
+            a = alpha  # broadcast over trailing channel dim
+        return prelu(x, a)
+
+
+def _torch_conv_init(key, shape, fan_in):
+    """torch Conv default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+class Conv1d(nn.Module):
+    """Channels-last Conv1d with optional weight normalization.
+
+    padding: "same" | "valid" | int pair semantics as torch.
+    When ``use_weight_norm`` the kernel is parameterized as (v, g) with
+    w = g * v / ||v||_{W,I} and v initialized N(0, 0.01) to mirror the
+    reference's ``cond_weight_norm`` + ``init_weights``
+    (blocks.py:34-46).
+    """
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: str = "valid"  # "same" | "valid"
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    use_weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        w_shape = (self.kernel_size, in_ch // self.groups, self.features)
+        fan_in = (in_ch // self.groups) * self.kernel_size
+
+        if self.use_weight_norm:
+            v = self.param("kernel_v",
+                           lambda k: 0.01 * jax.random.normal(k, w_shape, jnp.float32))
+            g = self.param("kernel_g",
+                           lambda k: jnp.ones((self.features,), jnp.float32) * 0.01
+                           * math.sqrt(fan_in))
+            norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
+            kernel = v * (g[None, None, :] / norm)
+        else:
+            kernel = self.param("kernel",
+                                lambda k: _torch_conv_init(k, w_shape, fan_in))
+
+        if self.padding == "same":
+            pad = _same_pads(self.kernel_size, self.dilation)
+        elif self.padding == "valid":
+            pad = (0, 0)
+        else:
+            pad = self.padding
+        y = conv1d(x, kernel, stride=self.stride, padding=pad,
+                   dilation=self.dilation, groups=self.groups)
+        if self.use_bias:
+            b = self.param("bias",
+                           lambda k: _torch_conv_init(k, (self.features,), fan_in))
+            y = y + b
+        return y
+
+
+class ConvTranspose1d(nn.Module):
+    """Channels-last transposed conv (torch semantics, padding=0)."""
+    features: int
+    kernel_size: int
+    stride: int = 1
+    use_bias: bool = True
+    use_weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        # stored in WIO with I=in, O=out (flip + swap handled by conv_transpose1d)
+        w_shape = (self.kernel_size, in_ch, self.features)
+        # torch ConvTranspose1d fan_in = out_channels * kernel (weight (I, O, W))
+        fan_in = self.features * self.kernel_size
+
+        if self.use_weight_norm:
+            v = self.param("kernel_v",
+                           lambda k: 0.01 * jax.random.normal(k, w_shape, jnp.float32))
+            # torch weight_norm on ConvTranspose1d normalizes per *input* channel
+            # (dim=0 of (I, O, W)); here that's axis 1 of (W, I, O)... we keep
+            # per-output normalization for consistency; documented deviation.
+            g = self.param("kernel_g",
+                           lambda k: jnp.ones((self.features,), jnp.float32) * 0.01
+                           * math.sqrt(in_ch * self.kernel_size))
+            norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
+            kernel = v * (g[None, None, :] / norm)
+        else:
+            kernel = self.param("kernel",
+                                lambda k: _torch_conv_init(k, w_shape, fan_in))
+        y = conv_transpose1d(x, kernel, stride=self.stride)
+        if self.use_bias:
+            b = self.param("bias",
+                           lambda k: _torch_conv_init(k, (self.features,), fan_in))
+            y = y + b
+        return y
+
+
+class Dense(nn.Module):
+    """Linear layer with torch init and optional weight norm."""
+    features: int
+    use_bias: bool = True
+    use_weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        w_shape = (in_dim, self.features)
+        if self.use_weight_norm:
+            v = self.param("kernel_v",
+                           lambda k: 0.01 * jax.random.normal(k, w_shape, jnp.float32))
+            g = self.param("kernel_g",
+                           lambda k: jnp.ones((self.features,), jnp.float32) * 0.01
+                           * math.sqrt(in_dim))
+            norm = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True) + 1e-12)
+            kernel = v * (g[None, :] / norm)
+        else:
+            kernel = self.param("kernel",
+                                lambda k: _torch_conv_init(k, w_shape, in_dim))
+        y = x @ kernel
+        if self.use_bias:
+            b = self.param("bias",
+                           lambda k: _torch_conv_init(k, (self.features,), in_dim))
+            y = y + b
+        return y

@@ -1,0 +1,177 @@
+"""STFT / mel-spectrogram front-end, XLA-native.
+
+Parity targets:
+  - reference ``MelAdapter`` (condition.py:68-114): torchaudio
+    MelSpectrogram(center=False, hann, power=2, htk mels, norm=None),
+    n_fft = oversample * hop; NOTE the reference hardcodes
+    ``sample_rate=24000`` for the mel filterbank even at fs=16k — we keep
+    that as the default for parity but make it configurable.
+  - reference MRD ``spectrogram`` (bigvgan/gan.py:227-253): reflect-pad by
+    (n_fft - hop)/2, torch.stft(center=False), magnitude.
+  - ``torch.stft(center=True)`` used by CompressedMagSTFT
+    (layers/dyn_range_comp.py:180-198).
+
+TPU design: framing is a reshape + static-slice stack when n_fft is a
+multiple of hop (zero-copy after XLA fusion), else
+``conv_general_dilated_patches``; the FFT is XLA's native TPU FFT; the mel
+projection is a single MXU matmul.
+"""
+import math
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=None)
+def hann_window(win_length: int, n_fft: int = None) -> np.ndarray:
+    """Periodic hann, zero-padded symmetrically to n_fft (torch semantics)."""
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(win_length) / win_length))
+    w = w.astype(np.float32)
+    if n_fft is not None and n_fft > win_length:
+        lpad = (n_fft - win_length) // 2
+        w = np.pad(w, (lpad, n_fft - win_length - lpad))
+    return w
+
+
+def frame_signal(x, n_fft: int, hop: int):
+    """Frame ``x (B, T)`` -> ``(B, n_frames, n_fft)``; no padding (center=False).
+
+    n_frames = 1 + (T - n_fft) // hop.
+    """
+    b, t = x.shape
+    n_frames = 1 + (t - n_fft) // hop
+    if n_fft % hop == 0:
+        k = n_fft // hop
+        n_blocks = t // hop
+        blocks = x[:, : n_blocks * hop].reshape(b, n_blocks, hop)
+        # frame i = blocks[i : i+k]; build from k shifted static slices
+        parts = [blocks[:, j : j + n_frames, :] for j in range(k)]
+        return jnp.concatenate(parts, axis=-1)
+    # general case: extract patches via conv (identity-kernel matmul)
+    patches = jax.lax.conv_general_dilated_patches(
+        x[:, :, None],
+        filter_shape=(n_fft,),
+        window_strides=(hop,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return patches[:, :n_frames, :]
+
+
+def stft(x, n_fft: int, hop: int, win_length: int = None, window=None,
+         center: bool = False, pad_mode: str = "reflect"):
+    """STFT of ``x (B, T)`` -> complex ``(B, n_frames, n_fft//2+1)``."""
+    if win_length is None:
+        win_length = n_fft
+    if window is None:
+        window = jnp.asarray(hann_window(win_length, n_fft))
+    if center:
+        p = n_fft // 2
+        x = _pad_reflect(x, p, p) if pad_mode == "reflect" else jnp.pad(
+            x, ((0, 0), (p, p)))
+    frames = frame_signal(x, n_fft, hop)
+    frames = frames * window[None, None, :]
+    return jnp.fft.rfft(frames, axis=-1)
+
+
+def _pad_reflect(x, lo: int, hi: int):
+    return jnp.pad(x, ((0, 0), (lo, hi)), mode="reflect")
+
+
+def overlap_add(frames, hop: int):
+    """Overlap-add ``frames (B, NF, W)`` at stride ``hop`` -> ``(B, (NF-1)*hop+W)``.
+
+    Expressed as an lhs-dilated conv with an identity (W, W, 1) kernel —
+    scatter-free and MXU-friendly on TPU.
+    """
+    b, nf, w = frames.shape
+    kernel = jnp.eye(w, dtype=frames.dtype)[::-1, :, None]  # (W, W, 1), flipped
+    out = jax.lax.conv_general_dilated(
+        frames, kernel,
+        window_strides=(1,),
+        padding=[(w - 1, w - 1)],
+        lhs_dilation=(hop,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return out[:, :, 0]
+
+
+def istft(spec, n_fft: int, hop: int, win_length: int = None, window=None,
+          length: int = None, center: bool = True):
+    """Inverse STFT with NOLA window correction (torch.istft semantics).
+
+    spec: complex ``(B, n_frames, n_fft//2+1)``.
+    """
+    if win_length is None:
+        win_length = n_fft
+    if window is None:
+        window = jnp.asarray(hann_window(win_length, n_fft))
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # (B, NF, n_fft)
+    nf = frames.shape[1]
+    frames = frames * window[None, None, :]
+    out = overlap_add(frames, hop)
+    w2 = jnp.broadcast_to((window * window)[None, None, :], (1, nf, n_fft))
+    wsum = overlap_add(w2, hop)[0]
+    out = out / jnp.maximum(wsum, 1e-11)[None, :]
+    if center:
+        p = n_fft // 2
+        out = out[:, p:]
+        if length is not None:
+            out = out[:, :length]
+    elif length is not None:
+        out = out[:, :length]
+    return out
+
+
+def _hz_to_mel_htk(f):
+    return 2595.0 * np.log10(1.0 + f / 700.0)
+
+
+def _mel_to_hz_htk(m):
+    return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+
+@lru_cache(maxsize=None)
+def mel_filterbank(n_freqs: int, n_mels: int, sample_rate: int,
+                   f_min: float = 0.0, f_max: float = None) -> np.ndarray:
+    """Triangular mel filterbank (htk scale, no normalization) -> (n_freqs, n_mels).
+
+    Matches torchaudio.functional.melscale_fbanks(norm=None, mel_scale='htk').
+    """
+    if f_max is None:
+        f_max = sample_rate / 2.0
+    all_freqs = np.linspace(0.0, sample_rate / 2.0, n_freqs)
+    m_pts = np.linspace(_hz_to_mel_htk(f_min), _hz_to_mel_htk(f_max), n_mels + 2)
+    f_pts = _mel_to_hz_htk(m_pts)
+    f_diff = f_pts[1:] - f_pts[:-1]  # (n_mels + 1)
+    slopes = f_pts[None, :] - all_freqs[:, None]  # (n_freqs, n_mels + 2)
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    return fb.astype(np.float32)
+
+
+def melspectrogram(x, n_fft: int, hop: int, n_mels: int, sample_rate: int,
+                   power: float = 2.0):
+    """Mel spectrogram of ``x (B, T)`` -> ``(B, n_frames, n_mels)``; center=False."""
+    spec = stft(x, n_fft, hop, center=False)
+    mag2 = spec.real**2 + spec.imag**2
+    if power != 2.0:
+        mag2 = jnp.power(jnp.maximum(mag2, 1e-20), power / 2.0)
+    fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate))
+    return mag2 @ fb  # MXU matmul
+
+
+class MelSpec:
+    """Configured mel-spec callable (stateless)."""
+
+    def __init__(self, n_fft: int, hop: int, n_mels: int,
+                 sample_rate: int = 24000, power: float = 2.0):
+        self.n_fft, self.hop, self.n_mels = n_fft, hop, n_mels
+        self.sample_rate, self.power = sample_rate, power
+
+    def __call__(self, x):
+        return melspectrogram(x, self.n_fft, self.hop, self.n_mels,
+                              self.sample_rate, self.power)
