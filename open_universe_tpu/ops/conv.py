@@ -118,8 +118,7 @@ class Conv1d(nn.Module):
             v = self.param("kernel_v",
                            lambda k: 0.01 * jax.random.normal(k, w_shape, jnp.float32))
             g = self.param("kernel_g",
-                           lambda k: jnp.ones((self.features,), jnp.float32) * 0.01
-                           * math.sqrt(fan_in))
+                           lambda k: jnp.sqrt(jnp.sum(v * v, axis=(0, 1))))
             norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
             kernel = v * (g[None, None, :] / norm)
         else:
@@ -160,12 +159,12 @@ class ConvTranspose1d(nn.Module):
         if self.use_weight_norm:
             v = self.param("kernel_v",
                            lambda k: 0.01 * jax.random.normal(k, w_shape, jnp.float32))
-            # torch weight_norm on ConvTranspose1d normalizes per *input* channel
-            # (dim=0 of (I, O, W)); here that's axis 1 of (W, I, O)... we keep
-            # per-output normalization for consistency; documented deviation.
+            # torch weight_norm on ConvTranspose1d normalizes per *input*
+            # channel (dim=0 of (I, O, W)); we normalize per output channel
+            # for consistency across conv types (documented deviation; only
+            # affects the parameterization, not the function class).
             g = self.param("kernel_g",
-                           lambda k: jnp.ones((self.features,), jnp.float32) * 0.01
-                           * math.sqrt(in_ch * self.kernel_size))
+                           lambda k: jnp.sqrt(jnp.sum(v * v, axis=(0, 1))))
             norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
             kernel = v * (g[None, None, :] / norm)
         else:
@@ -193,8 +192,7 @@ class Dense(nn.Module):
             v = self.param("kernel_v",
                            lambda k: 0.01 * jax.random.normal(k, w_shape, jnp.float32))
             g = self.param("kernel_g",
-                           lambda k: jnp.ones((self.features,), jnp.float32) * 0.01
-                           * math.sqrt(in_dim))
+                           lambda k: jnp.sqrt(jnp.sum(v * v, axis=0)))
             norm = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True) + 1e-12)
             kernel = v * (g[None, :] / norm)
         else:

@@ -1,0 +1,115 @@
+"""Score / conditioner network structural tests (UNIVERSE++ default config)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from open_universe_tpu.models import (
+    ConditionerNetwork,
+    MultiPeriodDiscriminator,
+    MultiResolutionDiscriminator,
+    ScoreNetwork,
+)
+
+B, T = 2, 1600  # multiple of 160 (= prod(rate_factors))
+
+
+def default_models():
+    score = ScoreNetwork(
+        rate_factors=(2, 4, 4, 5), n_channels=32, noise_cond_dim=512,
+        extra_conv_block=True, use_weight_norm=True, use_antialiasing=True,
+        time_embedding="simple",
+    )
+    cond = ConditionerNetwork(
+        rate_factors=(2, 4, 4, 5), n_channels=32, n_mels=80,
+        n_mel_oversample=4, encoder_gru_residual=True, extra_conv_block=True,
+        use_weight_norm=True, use_antialiasing=False,
+    )
+    return score, cond
+
+
+@pytest.fixture(scope="module")
+def nets():
+    score, cond = default_models()
+    x = jnp.zeros((B, T, 1))
+    cond_params = cond.init(jax.random.PRNGKey(0), x)
+    conditions, y_est, h = cond.apply(cond_params, x)
+    sigma = jnp.full((B,), 0.5)
+    score_params = score.init(jax.random.PRNGKey(1), x, sigma, conditions)
+    return score, cond, score_params, cond_params
+
+
+def test_conditioner_shapes(nets):
+    score, cond, score_params, cond_params = nets
+    x = jnp.zeros((B, T, 1))
+    conditions, y_est, h = cond.apply(cond_params, x)
+    # 5 conditioning levels: latent + 4 upsampled (extra_conv_block=True)
+    assert len(conditions) == 5
+    shapes = [c.shape for c in conditions]
+    assert shapes == [(B, 10, 512), (B, 50, 256), (B, 200, 128),
+                      (B, 800, 64), (B, 1600, 32)]
+    assert y_est.shape == (B, T, 32)  # output_channels=None keeps n_channels
+    assert h.shape == (B, 10, 512)
+
+
+def test_score_shapes(nets):
+    score, cond, score_params, cond_params = nets
+    x = jnp.zeros((B, T, 1))
+    conditions, _, _ = cond.apply(cond_params, x)
+    sigma = jnp.full((B,), 0.5)
+    s = score.apply(score_params, x, sigma, conditions)
+    assert s.shape == (B, T, 1)
+    assert bool(jnp.all(jnp.isfinite(s)))
+
+
+def test_score_jit_and_param_count(nets):
+    score, cond, score_params, cond_params = nets
+
+    n_score = sum(np.prod(p.shape) for p in
+                  jax.tree_util.tree_leaves(score_params))
+    n_cond = sum(np.prod(p.shape) for p in
+                 jax.tree_util.tree_leaves(cond_params))
+    # reference UNIVERSE++ is ~100M total; sanity band
+    assert 10e6 < n_score < 200e6
+    assert 10e6 < n_cond < 200e6
+
+    @jax.jit
+    def fwd(sp, cp, x, sigma):
+        conditions, y_est, _ = cond.apply(cp, x)
+        return score.apply(sp, x, sigma, conditions)
+
+    x = jnp.zeros((B, T, 1))
+    s = fwd(score_params, cond_params, x, jnp.full((B,), 0.1))
+    assert s.shape == (B, T, 1)
+
+
+def test_sigma_conditioning_changes_output():
+    # NOTE: with time_embedding="simple" the embedding is sigma-independent
+    # at init (zero weights, reference sigma_block.py:69-70), so use RFF here
+    score = ScoreNetwork(rate_factors=(2, 4), n_channels=4, noise_cond_dim=32,
+                         n_rff=8, time_embedding="rff")
+    cond = ConditionerNetwork(rate_factors=(2, 4), n_channels=4, n_mels=8,
+                              n_mel_oversample=4)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 80, 1))
+    cp = cond.init(jax.random.PRNGKey(0), x)
+    conditions, _, _ = cond.apply(cp, x)
+    sp = score.init(jax.random.PRNGKey(1), x, jnp.asarray([0.5]), conditions)
+    s1 = score.apply(sp, x, jnp.asarray([0.001]), conditions)
+    s2 = score.apply(sp, x, jnp.asarray([5.0]), conditions)
+    assert float(jnp.abs(s1 - s2).max()) > 1e-6
+
+
+def test_discriminators():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2000, 1))
+    y = jax.random.normal(jax.random.PRNGKey(1), (1, 2000, 1))
+    mpd = MultiPeriodDiscriminator(channel_mult=1)
+    p = mpd.init(jax.random.PRNGKey(2), x, y)
+    rs, gs, fr, fg = mpd.apply(p, x, y)
+    assert len(rs) == len(gs) == 5
+    assert len(fr[0]) == 6  # 5 conv fmaps + post
+
+    mrd = MultiResolutionDiscriminator()
+    p2 = mrd.init(jax.random.PRNGKey(3), x, y)
+    rs2, gs2, fr2, fg2 = mrd.apply(p2, x, y)
+    assert len(rs2) == 3
+    assert len(fr2[0]) == 6
