@@ -27,6 +27,29 @@ from .blocks import ConvBlock, PReLUConv
 INV_SQRT2 = 1.0 / math.sqrt(2.0)
 
 
+def conditioner_mel_spec(x, n_mels: int, ds_factor: int, oversample: int,
+                         mel_sample_rate: int = 24000):
+    """Normalized mel of waveform x (B, T, C) -> (B, T/ds, n_mels).
+
+    Pads like reference MelAdapter.compute_mel_spec (condition.py:92-106):
+    symmetric (n_fft-hop)/2 + right-pad to a hop multiple, then global
+    normalization to unit average frame energy.
+    """
+    n_fft = oversample * ds_factor
+    hop = ds_factor
+    w = x[..., 0]
+    t = w.shape[-1]
+    r = t % hop
+    extra = hop - r if r != 0 else 0
+    pad_tot = n_fft - hop
+    lo, hi = pad_tot // 2, pad_tot - pad_tot // 2
+    w = jnp.pad(w, ((0, 0), (lo, extra + hi)))
+    m = melspectrogram(w, n_fft, hop, n_mels, mel_sample_rate)
+    norm = jnp.sqrt(jnp.mean(jnp.sum(m**2, axis=-1, keepdims=True),
+                             axis=-2, keepdims=True))
+    return m / jnp.maximum(norm, 1e-5)
+
+
 class MelAdapter(nn.Module):
     """Mel spectrogram -> conv -> ConvBlock, at the x(ds_factor) latent rate."""
     n_mels: int
@@ -36,29 +59,10 @@ class MelAdapter(nn.Module):
     use_weight_norm: bool = False
     mel_sample_rate: int = 24000  # reference quirk, see module docstring
 
-    def _mel(self, x):
-        """x (B, T, 1) -> (B, T/ds, n_mels); pads like condition.py:92-98."""
-        n_fft = self.oversample * self.ds_factor
-        hop = self.ds_factor
-        w = x[..., 0]
-        t = w.shape[-1]
-        r = t % hop
-        extra = hop - r if r != 0 else 0
-        pad_tot = n_fft - hop
-        lo, hi = pad_tot // 2, pad_tot - pad_tot // 2
-        w = jnp.pad(w, ((0, 0), (lo, extra + hi)))
-        m = melspectrogram(w, n_fft, hop, self.n_mels, self.mel_sample_rate)
-        # global normalization to unit average frame energy (condition.py:105-106)
-        norm = jnp.sqrt(jnp.mean(jnp.sum(m**2, axis=-1, keepdims=True),
-                                 axis=-2, keepdims=True))
-        return m / jnp.maximum(norm, 1e-5)
-
-    def compute_mel_spec(self, x):
-        return self._mel(x)
-
     @nn.compact
     def __call__(self, x):
-        m = self._mel(x)
+        m = conditioner_mel_spec(x, self.n_mels, self.ds_factor,
+                                 self.oversample, self.mel_sample_rate)
         m = Conv1d(self.output_channels, 3, padding="same",
                    use_weight_norm=self.use_weight_norm, name="conv")(m)
         m, *_ = ConvBlock(self.output_channels,
@@ -187,18 +191,21 @@ class ConditionerNetwork(nn.Module):
     def total_ds(self):
         return int(math.prod(self.rate_factors))
 
-    def mel_adapter(self):
+    def mel_adapter(self, name=None):
         total_channels = 2 ** len(self.rate_factors) * self.n_channels
+        kwargs = {} if name is None else {"name": name}
         return MelAdapter(self.n_mels, total_channels,
                           self.total_ds * self.input_channels,
                           self.n_mel_oversample,
                           use_weight_norm=self.use_weight_norm,
-                          mel_sample_rate=self.mel_sample_rate,
-                          name="input_mel")
+                          mel_sample_rate=self.mel_sample_rate, **kwargs)
 
     def compute_mel_spec(self, x):
         """Normalized mel of waveform (B, T, C) — used by training losses."""
-        return self.mel_adapter().compute_mel_spec(x)
+        return conditioner_mel_spec(x, self.n_mels,
+                                    self.total_ds * self.input_channels,
+                                    self.n_mel_oversample,
+                                    self.mel_sample_rate)
 
     @nn.compact
     def __call__(self, x, x_wav=None, train: bool = True):
@@ -206,7 +213,7 @@ class ConditionerNetwork(nn.Module):
         if x_wav is None:
             x_wav = x
 
-        x_mel = self.mel_adapter()(x_wav)
+        x_mel = self.mel_adapter(name="input_mel")(x_wav)
 
         x = Conv1d(self.n_channels, self.fb_kernel_size, padding="same",
                    use_weight_norm=self.use_weight_norm, name="input_conv")(x)

@@ -144,7 +144,11 @@ class UniverseModel:
 
     def compute_mel_spec(self, x):
         """Normalized mel via the conditioner's MelAdapter (no params)."""
-        return self.cond_net.mel_adapter().compute_mel_spec(x)
+        from .condition import conditioner_mel_spec
+        c = self.cfg
+        return conditioner_mel_spec(x, c.n_mels,
+                                    self.tot_ds * c.input_channels,
+                                    c.n_mel_oversample)
 
     # ----------------------------------------------------------- pad utils
     def pad(self, x, pad: Optional[int] = None):

@@ -1,0 +1,300 @@
+"""UNIVERSE++ adversarial trainer (generator + MPD/MRD discriminators).
+
+Parity target: reference ``UniverseGAN.training_step``
+(universe_gan.py:153-354) and its two-optimizer manual loop:
+  1. forward the generator once (conditioner + score + decoupling head),
+  2. update the discriminators on the detached signal estimate,
+  3. update the generator through the *updated* discriminators with
+     score MSE + 45 x L1-mel + LS-GAN generator/feature-matching terms.
+
+TPU design: the whole step is ONE jit'ed function. The generator forward
+is computed once with ``jax.vjp``; after the discriminator update the
+generator gradients are pulled back through the saved linearization, so
+the expensive U-Net forward is not recomputed (the reference reuses its
+autograd graph the same way).
+
+Deliberate fixes of reference bugs (SURVEY.md §7 "hard parts"):
+  - the discriminator optimizer receives BOTH MPD and MRD parameters
+    (reference passes MRD twice and MPD never, universe_gan.py:417-419);
+  - the signal-decoupling head is part of the generator optimizer
+    (reference omits it from both optimizers, universe_gan.py:390).
+"""
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..diffusion.sigma_sampling import sample_sigma
+from ..losses.gan import discriminator_loss, feature_loss, generator_loss
+from ..models.bigvgan.discriminators import (
+    MultiPeriodDiscriminator,
+    MultiResolutionDiscriminator,
+)
+from ..models.universe.model import UniverseModel
+from .clipping import clip_by_global_norm, global_norm
+from .ema import EmaState, ema_init, ema_update
+from .schedules import linear_warmup_cosine_annealing
+
+
+@dataclasses.dataclass(frozen=True)
+class GanTrainConfig:
+    # losses (config/model/default.yaml:48-64)
+    weight_score: float = 1.0
+    weight_mel_l1: float = 45.0
+    disc_freeze_step: int = 0
+    mpd_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    mrd_resolutions: Tuple[Tuple[int, int, int], ...] = (
+        (1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
+    # optimizer (config/model/default.yaml:82-98)
+    lr: float = 2e-4
+    betas: Tuple[float, float] = (0.8, 0.99)
+    weight_decay: float = 0.01
+    grad_clip_score: float = 1000.0
+    grad_clip_cond: float = 1000.0
+    grad_clip_mpd: float = 1000.0
+    grad_clip_mrd: float = 1000.0
+    # scheduler, in scheduler-steps = 2 x batches (see schedules.py note)
+    t_warmup: int = 20000
+    t_cosine: int = 400000
+    t_max: int = 600000
+    eta_min: float = 1.6e-6
+    # training (config/model/default.yaml:66-70)
+    time_sampling: str = "time_normal_0.95"
+    dynamic_mixing: bool = False
+    ema_decay: float = 0.999
+
+
+@struct.dataclass
+class GanTrainState:
+    gen_params: Any
+    disc_params: Any
+    gen_opt: Any
+    disc_opt: Any
+    ema: EmaState
+    step: jnp.ndarray
+
+
+def _wd_mask(params):
+    """True = apply weight decay; excludes bias/prelu-style params
+    (reference weight_decay_exclude [prelu, bias],
+    config/model/default.yaml:89)."""
+    def keep(path, _):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        leaf = keys[-1] if keys else ""
+        if leaf in ("bias", "alpha", "beta", "ln_bias", "b_ih", "b_hh"):
+            return False
+        if any("prelu" in str(k) or str(k) == "act" for k in keys):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
+class GanTrainer:
+    def __init__(self, model: UniverseModel,
+                 cfg: GanTrainConfig = GanTrainConfig()):
+        self.model = model
+        self.cfg = cfg
+        self.mpd = MultiPeriodDiscriminator(periods=cfg.mpd_periods)
+        self.mrd = MultiResolutionDiscriminator(
+            resolutions=cfg.mrd_resolutions)
+
+        sched = linear_warmup_cosine_annealing(
+            cfg.lr, cfg.t_warmup, cfg.t_cosine, cfg.t_max, cfg.eta_min)
+        # optimizer count advances once per batch; the reference advances its
+        # schedulers twice per batch, so scale the count by 2
+        self._sched = lambda count: sched(2 * count)
+
+        self.gen_tx = optax.chain(
+            optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]),
+            optax.add_decayed_weights(cfg.weight_decay, mask=_wd_mask),
+            optax.scale_by_learning_rate(self._sched),
+        )
+        self.disc_tx = optax.chain(
+            optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]),
+            optax.add_decayed_weights(cfg.weight_decay),  # torch AdamW default
+            optax.scale_by_learning_rate(self._sched),
+        )
+
+    # ----------------------------------------------------------------- init
+    def init(self, key, example_len: int = 1600, batch: int = 1
+             ) -> GanTrainState:
+        kg, kp, kr = jax.random.split(key, 3)
+        gen_params = self.model.init(kg, example_len=example_len, batch=batch)
+        x = jnp.zeros((batch, example_len, 1))
+        disc_params = {
+            "mpd": self.mpd.init(kp, x, x)["params"],
+            "mrd": self.mrd.init(kr, x, x)["params"],
+        }
+        ema_tree = {k: gen_params[k] for k in gen_params}
+        return GanTrainState(
+            gen_params=gen_params,
+            disc_params=disc_params,
+            gen_opt=self.gen_tx.init(gen_params),
+            disc_opt=self.disc_tx.init(disc_params),
+            ema=ema_init(ema_tree, self.cfg.ema_decay),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ----------------------------------------------------------- train step
+    def train_step(self, state: GanTrainState, batch, key
+                   ) -> Tuple[GanTrainState, Dict[str, jnp.ndarray]]:
+        """One optimization step. batch = (mix, target), each (B, T, 1)."""
+        cfg = self.cfg
+        model = self.model
+        mix, target = batch[0], batch[1]
+        target_original = batch[2] if len(batch) > 2 else target
+
+        k_mix, k_sigma, k_z = jax.random.split(key, 3)
+
+        if cfg.dynamic_mixing:
+            noise = mix - target
+            perm = jax.random.permutation(k_mix, mix.shape[0])
+            mix = target + noise[perm]
+
+        (mix, target, target_original), *_ = model.normalize_batch(
+            (mix, target, target_original))
+
+        sigma, _ = sample_sigma(k_sigma, mix.shape[0], model.cfg.diffusion,
+                                cfg.time_sampling)
+        z = jax.random.normal(k_z, target.shape, target.dtype)
+        x_t = target + sigma[:, None, None] * z
+
+        # one generator forward, saved for the later pullback
+        def gen_forward(gen_params):
+            cond, y_raw, _ = model.apply_cond(gen_params, mix)
+            score = model.score_fn(gen_params)(x_t, sigma, cond)
+            y_est = model.aux_to_wav(gen_params, y_raw)
+            return score, y_est
+
+        (score, y_est), gen_vjp = jax.vjp(gen_forward, state.gen_params)
+        y_det = jax.lax.stop_gradient(y_est)
+
+        mel_target = model.compute_mel_spec(target_original)
+
+        # ---------------- discriminator update (on detached estimate)
+        def disc_loss_fn(disc_params):
+            rf, gf, _, _ = self.mpd.apply({"params": disc_params["mpd"]},
+                                          target_original, y_det)
+            loss_f, _, _ = discriminator_loss(rf, gf)
+            rs, gs, _, _ = self.mrd.apply({"params": disc_params["mrd"]},
+                                          target_original, y_det)
+            loss_s, _, _ = discriminator_loss(rs, gs)
+            return loss_f + loss_s, (loss_f, loss_s)
+
+        (loss_disc, (loss_mpd, loss_mrd)), disc_grads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True)(state.disc_params)
+
+        disc_grads["mpd"], gn_mpd = clip_by_global_norm(
+            disc_grads["mpd"], cfg.grad_clip_mpd)
+        disc_grads["mrd"], gn_mrd = clip_by_global_norm(
+            disc_grads["mrd"], cfg.grad_clip_mrd)
+
+        disc_active = state.step >= cfg.disc_freeze_step
+
+        def do_disc_update(_):
+            upd, new_opt = self.disc_tx.update(disc_grads, state.disc_opt,
+                                               state.disc_params)
+            return optax.apply_updates(state.disc_params, upd), new_opt
+
+        def skip_disc_update(_):
+            return state.disc_params, state.disc_opt
+
+        new_disc_params, new_disc_opt = jax.lax.cond(
+            disc_active, do_disc_update, skip_disc_update, None)
+
+        # ---------------- generator update (through updated discriminators)
+        gate = disc_active.astype(jnp.float32)
+
+        def downstream_loss(score, y_est):
+            l_score = jnp.mean((sigma[:, None, None] * score + z) ** 2)
+            mel_y = model.compute_mel_spec(y_est)
+            loss_mel = jnp.mean(jnp.abs(mel_y - mel_target))
+
+            rf, gf, fr, fg = self.mpd.apply(
+                {"params": new_disc_params["mpd"]}, target_original, y_est)
+            loss_fm_f = feature_loss(fr, fg)
+            loss_gen_f, _ = generator_loss(gf)
+            rs, gs, fr2, fg2 = self.mrd.apply(
+                {"params": new_disc_params["mrd"]}, target_original, y_est)
+            loss_fm_s = feature_loss(fr2, fg2)
+            loss_gen_s, _ = generator_loss(gs)
+
+            loss = (cfg.weight_score * l_score
+                    + cfg.weight_mel_l1 * loss_mel
+                    + gate * (loss_gen_s + loss_gen_f + loss_fm_s + loss_fm_f))
+            aux = {"score": l_score, "mel": loss_mel,
+                   "mpd_gen": loss_gen_f, "mrd_gen": loss_gen_s,
+                   "mpd_fm": loss_fm_f, "mrd_fm": loss_fm_s}
+            return loss, aux
+
+        grad_fn = jax.value_and_grad(downstream_loss, argnums=(0, 1),
+                                     has_aux=True)
+        (loss_gen, gen_aux), (d_score, d_yest) = grad_fn(score, y_est)
+        (gen_grads,) = gen_vjp((d_score, d_yest))
+
+        gen_grads["score"], gn_score = clip_by_global_norm(
+            gen_grads["score"], cfg.grad_clip_score)
+        gen_grads["cond"], gn_cond = clip_by_global_norm(
+            gen_grads["cond"], cfg.grad_clip_cond)
+
+        upd, new_gen_opt = self.gen_tx.update(gen_grads, state.gen_opt,
+                                              state.gen_params)
+        new_gen_params = optax.apply_updates(state.gen_params, upd)
+
+        new_ema = ema_update(state.ema, new_gen_params)
+
+        metrics = {
+            "train/loss_disc": loss_disc,
+            "train/loss_mpd": loss_mpd,
+            "train/loss_mrd": loss_mrd,
+            "train/loss_gen": loss_gen,
+            "train/score": gen_aux["score"],
+            "train/signal_mel": gen_aux["mel"],
+            "train/mpd_gen": gen_aux["mpd_gen"],
+            "train/mrd_gen": gen_aux["mrd_gen"],
+            "train/mpd_fm": gen_aux["mpd_fm"],
+            "train/mrd_fm": gen_aux["mrd_fm"],
+            "grad/score": gn_score,
+            "grad/cond": gn_cond,
+            "grad/mpd": gn_mpd,
+            "grad/mrd": gn_mrd,
+            "lr": self._sched(state.step),
+        }
+
+        new_state = GanTrainState(
+            gen_params=new_gen_params,
+            disc_params=new_disc_params,
+            gen_opt=new_gen_opt,
+            disc_opt=new_disc_opt,
+            ema=new_ema,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    # ------------------------------------------------------------ val step
+    def val_score_losses(self, state: GanTrainState, batch, key,
+                         n_bins: int = 5, use_ema: bool = True):
+        """Per-sigma-bin score losses (reference universe.py:606-650)."""
+        model = self.model
+        mix, target = batch[0], batch[1]
+        params = state.ema.params if use_ema else state.gen_params
+        (mix, target), *_ = model.normalize_batch((mix, target))
+        mix, _ = model.pad(mix)
+        target, _ = model.pad(target)
+        tb = jnp.linspace(0.0, 1.0, n_bins + 1)
+        losses = []
+        for i in range(n_bins):
+            key, ks, kz = jax.random.split(key, 3)
+            sigma, _ = sample_sigma(ks, mix.shape[0], model.cfg.diffusion,
+                                    "time_uniform", t_min=float(i) / n_bins,
+                                    t_max=float(i + 1) / n_bins)
+            z = jax.random.normal(kz, target.shape, target.dtype)
+            x_t = target + sigma[:, None, None] * z
+            cond, _, _ = model.apply_cond(params, mix)
+            score = model.score_fn(params)(x_t, sigma, cond)
+            losses.append(jnp.mean((sigma[:, None, None] * score + z) ** 2))
+        return jnp.stack(losses), tb

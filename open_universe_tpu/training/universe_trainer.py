@@ -1,0 +1,181 @@
+"""Original UNIVERSE trainer (score matching + MDN auxiliary losses).
+
+Parity target: reference ``Universe`` training path
+(universe.py:472-586 + _old/universe_original.yaml): single AdamW over
+score net + conditioner + the two MDN loss heads; loss =
+w_score * MSE(sigma*score, -z) + w_signal * MDN(y_est, target)
++ w_latent * MDN(h_latent, unit-norm mel(target)); EMA over the model
+(not loss-head) parameters.
+"""
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..diffusion.sigma_sampling import sample_sigma
+from ..losses.mdn import MixtureDensityNetworkLoss
+from ..models.universe.model import UniverseModel
+from .clipping import clip_by_global_norm
+from .ema import EmaState, ema_init, ema_update
+from .gan_trainer import _wd_mask
+from .schedules import linear_warmup_cosine_annealing
+
+
+@dataclasses.dataclass(frozen=True)
+class MdnTrainConfig:
+    weight_score: float = 1.0
+    weight_signal: float = 1.0
+    weight_latent: float = 1.0
+    mdn_n_comp: int = 3
+    mdn_alpha_per_sample: bool = True
+    audio_len_s: float = 4.0
+    lr: float = 2e-4
+    betas: Tuple[float, float] = (0.8, 0.99)
+    weight_decay: float = 0.01
+    grad_clip: float = 1000.0
+    t_warmup: int = 50000
+    t_cosine: int = 50001
+    t_max: int = 300000
+    eta_min: float = 1.6e-6
+    time_sampling: str = "time_uniform"
+    dynamic_mixing: bool = False
+    ema_decay: float = 0.999
+    with_noise_target: bool = False
+
+
+@struct.dataclass
+class MdnTrainState:
+    params: Any          # {"score","cond","loss_signal","loss_latent"}
+    opt: Any
+    ema: EmaState        # over {"score","cond"} only
+    step: jnp.ndarray
+
+
+class MdnTrainer:
+    def __init__(self, model: UniverseModel,
+                 cfg: MdnTrainConfig = MdnTrainConfig()):
+        self.model = model
+        self.cfg = cfg
+        fs = model.cfg.fs
+        num_targets = 2 if cfg.with_noise_target else 1
+        self.loss_signal = MixtureDensityNetworkLoss(
+            est_channels=model.cfg.n_channels,
+            tgt_channels=model.cfg.input_channels * num_targets,
+            n_comp=cfg.mdn_n_comp,
+            sample_len=int(fs * cfg.audio_len_s),
+            alpha_per_sample=cfg.mdn_alpha_per_sample,
+        )
+        self.loss_latent = MixtureDensityNetworkLoss(
+            est_channels=model.latent_n_channels,
+            tgt_channels=model.cfg.n_mels * num_targets,
+            n_comp=cfg.mdn_n_comp,
+            sample_len=int(fs // model.tot_ds * cfg.audio_len_s),
+            alpha_per_sample=cfg.mdn_alpha_per_sample,
+        )
+
+        sched = linear_warmup_cosine_annealing(
+            cfg.lr, cfg.t_warmup, cfg.t_cosine, cfg.t_max, cfg.eta_min)
+        self._sched = sched
+        self.tx = optax.chain(
+            optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]),
+            optax.add_decayed_weights(cfg.weight_decay, mask=_wd_mask),
+            optax.scale_by_learning_rate(sched),
+        )
+
+    def init(self, key, batch: int = 1) -> MdnTrainState:
+        fs = self.model.cfg.fs
+        t = int(fs * self.cfg.audio_len_s)
+        kg, ks, kl = jax.random.split(key, 3)
+        gen = self.model.init(kg, example_len=t, batch=batch)
+        x = jnp.zeros((batch, t, 1))
+        cond, y_est, h = self.model.apply_cond(gen, x)
+        params = {
+            "score": gen["score"],
+            "cond": gen["cond"],
+            "loss_signal": self.loss_signal.init(ks, y_est, x)["params"],
+            "loss_latent": self.loss_latent.init(
+                kl, h, jnp.zeros((batch, h.shape[1],
+                                  self.model.cfg.n_mels)))["params"],
+        }
+        ema_tree = {"score": params["score"], "cond": params["cond"]}
+        return MdnTrainState(params=params, opt=self.tx.init(params),
+                             ema=ema_init(ema_tree, self.cfg.ema_decay),
+                             step=jnp.zeros((), jnp.int32))
+
+    def compute_losses(self, params, mix, target, key,
+                       time_sampling=None, t_min=0.0, t_max=1.0,
+                       train: bool = True):
+        """Score + MDN losses on a *normalized* (mix, target) pair."""
+        cfg = self.cfg
+        model = self.model
+        ts = time_sampling or cfg.time_sampling
+        ks, kz = jax.random.split(key)
+        sigma, _ = sample_sigma(ks, mix.shape[0], model.cfg.diffusion, ts,
+                                t_min=t_min, t_max=t_max)
+        z = jax.random.normal(kz, target.shape, target.dtype)
+        x_t = target + sigma[:, None, None] * z
+
+        gen = {"score": params["score"], "cond": params["cond"]}
+        cond, y_est, h_est = model.apply_cond(gen, mix)
+        score = model.score_fn(gen)(x_t, sigma, cond)
+        l_score = jnp.mean((sigma[:, None, None] * score + z) ** 2)
+        if not train:
+            return l_score
+
+        if cfg.with_noise_target:
+            noise = mix - target
+            target_aux = jnp.concatenate([target, noise], axis=-1)
+        else:
+            target_aux = target
+
+        l_signal = self.loss_signal.apply(
+            {"params": params["loss_signal"]}, y_est, target_aux)
+
+        mel_target = model.compute_mel_spec(target_aux)
+        mel_norm = jnp.sqrt(jnp.sum(mel_target**2, axis=(-2, -1),
+                                    keepdims=True))
+        mel_target = mel_target / jnp.maximum(mel_norm, 1e-5)
+        l_latent = self.loss_latent.apply(
+            {"params": params["loss_latent"]}, h_est, mel_target)
+
+        loss = (cfg.weight_score * l_score
+                + cfg.weight_signal * l_signal
+                + cfg.weight_latent * l_latent)
+        return loss, (l_score, l_signal, l_latent)
+
+    def train_step(self, state: MdnTrainState, batch, key
+                   ) -> Tuple[MdnTrainState, Dict[str, jnp.ndarray]]:
+        cfg = self.cfg
+        mix, target = batch[0], batch[1]
+        k_mix, k_loss = jax.random.split(key)
+
+        if cfg.dynamic_mixing:
+            noise = mix - target
+            perm = jax.random.permutation(k_mix, mix.shape[0])
+            mix = target + noise[perm]
+
+        (mix, target), *_ = self.model.normalize_batch((mix, target))
+
+        def loss_fn(params):
+            return self.compute_losses(params, mix, target, k_loss)
+
+        (loss, (l_score, l_signal, l_latent)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads, gnorm = clip_by_global_norm(grads, cfg.grad_clip)
+        upd, new_opt = self.tx.update(grads, state.opt, state.params)
+        new_params = optax.apply_updates(state.params, upd)
+        new_ema = ema_update(state.ema, {"score": new_params["score"],
+                                         "cond": new_params["cond"]})
+        metrics = {
+            "train/loss": loss,
+            "train/score": l_score,
+            "train/signal": l_signal,
+            "train/latent": l_latent,
+            "grad/norm": gnorm,
+            "lr": self._sched(state.step),
+        }
+        return MdnTrainState(params=new_params, opt=new_opt, ema=new_ema,
+                             step=state.step + 1), metrics
