@@ -1,0 +1,87 @@
+"""Enhancement CLI.
+
+Usage:
+    python -m open_universe_tpu.bin.enhance <input> <output> --ckpt <dir>
+        [--n-steps 8 --epsilon 1.3 --ensemble 4 ...]
+
+Parity target: reference ``bin/enhance.py`` (84-192): folder or single
+file, flags auto-derived from the model's ``enhance()`` signature,
+deterministic seed, resample in/out.
+"""
+import argparse
+from pathlib import Path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("input", help="input wav file or folder")
+    parser.add_argument("output", help="output wav file or folder")
+    parser.add_argument("--ckpt", required=True, help="checkpoint dir")
+    parser.add_argument("--step", type=int, default=None)
+    parser.add_argument("--no-ema", action="store_true")
+    parser.add_argument("--seed", type=int, default=682479040)
+
+    from ..models.universe.model import UniverseModel
+    from .common import add_enhance_arguments, collect_enhance_kwargs
+
+    add_enhance_arguments(parser, UniverseModel.enhance)
+    args = parser.parse_args(argv)
+
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data.wavio import read_wav, write_wav
+    from ..training.checkpoint import load_model_for_inference
+
+    model, params, cfg = load_model_for_inference(
+        args.ckpt, step=args.step, use_ema=not args.no_ema)
+    fs_model = cfg["model"].get("fs", 16000)
+    kwargs = collect_enhance_kwargs(args, UniverseModel.enhance)
+
+    in_path, out_path = Path(args.input), Path(args.output)
+    if in_path.is_dir():
+        files = sorted(p for p in in_path.glob("*.wav"))
+        out_path.mkdir(parents=True, exist_ok=True)
+        pairs = [(p, out_path / p.name) for p in files]
+    else:
+        if out_path.suffix != ".wav":
+            out_path.mkdir(parents=True, exist_ok=True)
+            pairs = [(in_path, out_path / in_path.name)]
+        else:
+            pairs = [(in_path, out_path)]
+
+    key = jax.random.PRNGKey(args.seed)
+
+    @jax.jit
+    def enhance(params, mix, key):
+        return model.enhance(params, mix, key, **kwargs)
+
+    for src, dst in pairs:
+        wav, fs = read_wav(src)
+        x = wav[:, 0]
+        if fs != fs_model:
+            from scipy.signal import resample_poly
+            g = math.gcd(fs, fs_model)
+            x = resample_poly(x, fs_model // g, fs // g)
+        key, k = jax.random.split(key)
+        # pad to a coarse length grid so jit compiles once per bucket,
+        # not once per file length
+        t = len(x)
+        grid = model.tot_ds * 25  # 0.25 s at 16 kHz
+        t_pad = -(-t // grid) * grid
+        xp = np.pad(x, (0, t_pad - t))
+        est = enhance(params, jnp.asarray(xp, jnp.float32), k)
+        est = np.asarray(est)[:t]
+        if fs != fs_model:
+            from scipy.signal import resample_poly
+            g = math.gcd(fs, fs_model)
+            est = resample_poly(est, fs // g, fs_model // g)
+        write_wav(dst, est, fs)
+        print(f"{src} -> {dst}")
+
+
+if __name__ == "__main__":
+    main()

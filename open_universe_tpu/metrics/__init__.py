@@ -1,0 +1,5 @@
+from .lsd import log_spectral_distance
+from .sisdr import si_sdr, sdr
+from .stoi import stoi
+from .eval import EvalMetrics
+from .wrapper import Metrics

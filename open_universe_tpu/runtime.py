@@ -1,0 +1,62 @@
+"""Config-dict -> model/trainer/datamodule builders (the L0 glue).
+
+Replaces the reference's ``hydra.utils.instantiate`` object graph
+(train.py:165-178) with explicit builders over our dataclass configs.
+"""
+from typing import Optional
+
+from .diffusion import DiffusionConfig, EDMConfig
+from .models.universe.model import (
+    NormalizationConfig,
+    UniverseConfig,
+    UniverseModel,
+)
+from .training import GanTrainConfig, GanTrainer, MdnTrainConfig, MdnTrainer
+
+
+def build_model(model_cfg: dict) -> UniverseModel:
+    m = dict(model_cfg)
+    diff = DiffusionConfig(**m.pop("diffusion", {}))
+    edm_cfg = m.pop("edm", None)
+    edm = EDMConfig(**edm_cfg) if edm_cfg else None
+    norm = NormalizationConfig(**m.pop("normalization", {}))
+    m.pop("seq_model", None)
+    cfg = UniverseConfig(
+        diffusion=diff, edm=edm, normalization=norm,
+        **{k: (tuple(v) if isinstance(v, list) else v) for k, v in m.items()})
+    return UniverseModel(cfg)
+
+
+def build_trainer(model: UniverseModel, trainer_cfg: dict):
+    t = dict(trainer_cfg)
+    kind = t.pop("kind", "gan")
+    for k in list(t):
+        if isinstance(t[k], list):
+            t[k] = tuple(tuple(x) if isinstance(x, list) else x for x in t[k])
+    if kind == "gan":
+        return GanTrainer(model, GanTrainConfig(**t))
+    if kind == "mdn":
+        return MdnTrainer(model, MdnTrainConfig(**t))
+    raise ValueError(f"unknown trainer kind {kind}")
+
+
+def build_datamodule(dm_cfg: dict, splits=("train", "val", "test"),
+                     shard_rank: int = 0, shard_count: int = 1):
+    from .data import DataModule
+
+    d = dict(dm_cfg)
+    audio_path = d.pop("audio_path")
+    fs = d.pop("fs", 16000)
+    audio_len = d.pop("audio_len", None)
+    length_mode = d.pop("length_mode", "crop")
+    batch_size = d.pop("batch_size", 8)
+    num_workers = d.pop("num_workers", 4)
+    datasets = {}
+    for split in splits:
+        datasets[split] = dict(
+            audio_path=audio_path, split=split, fs=fs,
+            audio_len=audio_len if split == "train" else None,
+            length_mode=length_mode, **d)
+    return DataModule(datasets=datasets, batch_size=batch_size,
+                     num_workers=num_workers, shard_rank=shard_rank,
+                     shard_count=shard_count)

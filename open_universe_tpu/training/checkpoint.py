@@ -1,0 +1,100 @@
+"""Checkpoint save/restore (Orbax) + model loading for inference.
+
+Parity targets: the reference's Lightning ModelCheckpoint + EMA
+serialization (universe.py:832-875, train.py:141-150) and
+``inference_utils.load_model`` (model_loader.py:33-133): checkpoints
+carry the config alongside the weights; inference prefers EMA params.
+"""
+import json
+import os
+import shutil
+from pathlib import Path
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+import yaml
+
+
+def _ckptr():
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(ckpt_dir, step: int, state, config: Optional[dict] = None,
+                    keep_last: int = 2):
+    """Save train state under ckpt_dir/step_N; maintains `last` pointer."""
+    ckpt_dir = Path(ckpt_dir).absolute()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = ckpt_dir / f"step_{step}"
+    if path.exists():
+        shutil.rmtree(path)
+    c = _ckptr()
+    c.save(str(path), state)
+    c.wait_until_finished()
+    if config is not None:
+        with open(ckpt_dir / "config.yaml", "w") as f:
+            yaml.safe_dump(config, f)
+    with open(ckpt_dir / "last.json", "w") as f:
+        json.dump({"step": step}, f)
+    # prune old checkpoints
+    steps = sorted(int(p.name.split("_")[1]) for p in ckpt_dir.glob("step_*"))
+    for s in steps[:-keep_last]:
+        shutil.rmtree(ckpt_dir / f"step_{s}", ignore_errors=True)
+
+
+def latest_step(ckpt_dir) -> Optional[int]:
+    last = Path(ckpt_dir) / "last.json"
+    if not last.exists():
+        return None
+    with open(last) as f:
+        return json.load(f)["step"]
+
+
+def restore_checkpoint(ckpt_dir, state_template, step: Optional[int] = None):
+    """Restore into the structure of state_template. Returns (state, step)."""
+    ckpt_dir = Path(ckpt_dir).absolute()
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
+    target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                    state_template)
+    state = _ckptr().restore(str(ckpt_dir / f"step_{step}"), target=target)
+    return state, step
+
+
+def load_config(ckpt_dir) -> dict:
+    with open(Path(ckpt_dir) / "config.yaml") as f:
+        return yaml.safe_load(f)
+
+
+def load_model_for_inference(ckpt_dir, step: Optional[int] = None,
+                             use_ema: bool = True):
+    """Build the model from a checkpoint dir and return (model, params).
+
+    Prefers EMA weights like the reference loader (model_loader.py:122-130).
+    """
+    from ..runtime import build_model, build_trainer
+
+    cfg = load_config(ckpt_dir)
+    model = build_model(cfg["model"])
+    trainer = build_trainer(model, cfg["trainer"])
+    template = trainer.init(jax.random.PRNGKey(0), **(
+        {"batch": 1} if cfg["trainer"].get("kind") == "mdn" else
+        {"example_len": model.tot_ds * 10, "batch": 1}))
+    state, step = restore_checkpoint(ckpt_dir, template, step=step)
+    if use_ema:
+        ema = state.ema.params
+        if "decoupling" in getattr(state, "gen_params", {}):
+            params = dict(ema)
+            if "decoupling" not in params:
+                params["decoupling"] = state.gen_params["decoupling"]
+        else:
+            params = dict(ema)
+    else:
+        if hasattr(state, "gen_params"):
+            params = state.gen_params
+        else:
+            params = {"score": state.params["score"],
+                      "cond": state.params["cond"]}
+    return model, params, cfg

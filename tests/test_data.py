@@ -1,0 +1,132 @@
+"""Data pipeline tests: WAV IO, dataset, bucketing, datamodule."""
+import numpy as np
+import pytest
+
+from open_universe_tpu.data import (
+    BucketBatcher,
+    DataModule,
+    NoisyDataset,
+    make_buckets,
+    read_wav,
+    wav_info,
+    write_wav,
+)
+
+
+@pytest.fixture(scope="module")
+def wav_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vb")
+    rng = np.random.default_rng(0)
+    fs = 16000
+    lengths = [8000, 12000, 16000, 20000, 24000, 40000]
+    for split in ["train", "val", "test"]:
+        for d in ["noisy", "clean"]:
+            (root / split / d).mkdir(parents=True, exist_ok=True)
+        for i, t in enumerate(lengths):
+            clean = 0.1 * np.sin(2 * np.pi * 440 * np.arange(t) / fs)
+            noise = 0.05 * rng.standard_normal(t)
+            write_wav(root / split / "clean" / f"f{i}.wav", clean, fs)
+            write_wav(root / split / "noisy" / f"f{i}.wav", clean + noise, fs)
+    return root, fs, lengths
+
+
+def test_wav_roundtrip(tmp_path):
+    x = np.clip(np.random.default_rng(1).standard_normal(1000) * 0.1, -1, 1)
+    write_wav(tmp_path / "a.wav", x, 16000)
+    y, fs = read_wav(tmp_path / "a.wav")
+    assert fs == 16000
+    assert y.shape == (1000, 1)
+    np.testing.assert_allclose(y[:, 0], x, atol=1.0 / 16000)
+    info = wav_info(tmp_path / "a.wav")
+    assert info["num_frames"] == 1000
+    assert info["sample_rate"] == 16000
+    assert info["num_channels"] == 1
+
+
+def test_dataset_crop_and_manifest(wav_tree):
+    root, fs, lengths = wav_tree
+    ds = NoisyDataset(root, split="train", fs=fs, audio_len=1.0,
+                      length_mode="crop")
+    assert len(ds) == len(lengths)
+    noisy, clean, txt, mask = ds[0]  # 8000 samples -> tiled to 16000
+    assert noisy.shape == (16000, 1)
+    assert clean.shape == (16000, 1)
+    assert mask.shape == (16000,)
+    # manifest cache was written and reloads
+    ds2 = NoisyDataset(root, split="train", fs=fs, audio_len=1.0)
+    assert ds2.lengths == ds.lengths
+
+
+def test_dataset_length_filter(wav_tree):
+    root, fs, lengths = wav_tree
+    ds = NoisyDataset(root, split="train", fs=fs, min_len_sec=0.6,
+                      max_len_sec=1.6)
+    kept = [l for l in lengths if 0.6 * fs <= l <= 1.6 * fs]
+    assert sorted(ds.lengths) == sorted(kept)
+
+
+def test_dataset_test_split(wav_tree):
+    root, fs, lengths = wav_tree
+    ds = NoisyDataset(root, split="test", fs=fs)
+    noisy, clean, key, mask = ds[0]
+    assert key == "f0"
+    assert noisy.shape[0] == lengths[0]
+
+
+def test_make_buckets():
+    lengths = [100, 200, 300, 1000, 5000, 5100]
+    bounds = make_buckets(lengths, n_buckets=3, multiple_of=160)
+    assert all(b % 160 == 0 for b in bounds)
+    assert bounds[-1] >= 5100
+    assert bounds == sorted(bounds)
+
+
+def test_bucket_batcher_static_shapes():
+    lengths = [100, 150, 300, 320, 800, 810, 805, 790]
+    bounds = [320, 960]
+    b = BucketBatcher(lengths, bounds, batch_size=2)
+    batches = b.epoch_batches(0)
+    seen = set()
+    for bi, idxs in batches:
+        assert len(idxs) == 2  # short batches are repeated up to bs
+        seen.update(idxs)
+        for i in idxs:
+            assert lengths[i] <= bounds[bi]
+    assert seen == set(range(len(lengths)))
+
+
+def test_bucket_batcher_sharding():
+    lengths = [100] * 16
+    b0 = BucketBatcher(lengths, [100], batch_size=2, shard_rank=0,
+                       shard_count=2, shuffle=False)
+    b1 = BucketBatcher(lengths, [100], batch_size=2, shard_rank=1,
+                       shard_count=2, shuffle=False)
+    n0 = b0.epoch_batches(0)
+    n1 = b1.epoch_batches(0)
+    assert len(n0) == len(n1) == 4  # 8 batches split across 2 hosts
+
+
+def test_datamodule_iteration(wav_tree):
+    root, fs, lengths = wav_tree
+    dm = DataModule(
+        datasets={
+            "train": dict(audio_path=root, split="train", fs=fs,
+                          audio_len=1.0, length_mode="crop"),
+            "val": dict(audio_path=root, split="val", fs=fs),
+            "test": dict(audio_path=root, split="test", fs=fs),
+        },
+        batch_size=2, num_workers=2)
+    n = 0
+    for noisy, clean, txts, mask in dm.iter_split("train"):
+        assert noisy.shape == (2, 16000, 1)
+        assert mask.shape == (2, 16000)
+        n += 1
+    assert n == dm.num_batches("train") == 3
+
+    # val: variable-length buckets, still static per bucket
+    for noisy, clean, txts, mask in dm.iter_split("val"):
+        assert noisy.shape[0] == 2
+        assert noisy.shape[1] % 160 == 0
+
+    keys = [k for _, _, k in dm.iter_test()]
+    assert len(keys) == len(lengths)

@@ -1,0 +1,95 @@
+"""Metric tests: LSD, STOI/ESTOI behavior, SDRs, wrappers."""
+import numpy as np
+import pytest
+
+from open_universe_tpu.metrics import (
+    EvalMetrics,
+    Metrics,
+    log_spectral_distance,
+    sdr,
+    si_sdr,
+    stoi,
+)
+
+FS = 16000
+
+
+def _speechlike(seconds=2.0, seed=0):
+    """Modulated multi-tone with per-band distinct envelopes (ESTOI needs
+    spectro-temporal diversity — a shared envelope is degenerate under its
+    row/column normalization)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * FS)) / FS
+    x = 0.0
+    for i, f in enumerate([220, 440, 880, 1760, 2500]):
+        env = 0.5 * (1 + np.sin(2 * np.pi * (2 + 1.3 * i) * t
+                                + rng.uniform(0, 6)))
+        x = x + env * np.sin(2 * np.pi * f * t + rng.uniform(0, 6))
+    return (x / 5).astype(np.float64)
+
+
+def test_lsd_zero_for_identical():
+    x = _speechlike()
+    d = log_spectral_distance(x[None], x[None])
+    assert float(d[0]) < 1e-6
+
+
+def test_lsd_increases_with_noise():
+    x = _speechlike()
+    rng = np.random.default_rng(1)
+    d1 = float(log_spectral_distance((x + 0.01 * rng.standard_normal(len(x)))[None],
+                                     x[None])[0])
+    d2 = float(log_spectral_distance((x + 0.3 * rng.standard_normal(len(x)))[None],
+                                     x[None])[0])
+    assert 0 < d1 < d2
+
+
+@pytest.mark.parametrize("extended", [False, True])
+def test_stoi_clean_is_high(extended):
+    x = _speechlike()
+    v = stoi(x, x, FS, extended=extended)
+    assert v > 0.95, v
+
+
+@pytest.mark.parametrize("extended", [False, True])
+def test_stoi_monotonic_in_snr(extended):
+    x = _speechlike()
+    rng = np.random.default_rng(2)
+    noise = rng.standard_normal(len(x))
+    vals = []
+    for snr_db in [20, 5, -5]:
+        g = np.linalg.norm(x) / np.linalg.norm(noise) * 10 ** (-snr_db / 20)
+        vals.append(stoi(x + g * noise, x, FS, extended=extended))
+    assert vals[0] > vals[1] > vals[2], vals
+
+
+def test_sdr_metrics():
+    x = _speechlike()
+    rng = np.random.default_rng(3)
+    noisy = x + 0.1 * rng.standard_normal(len(x))
+    assert float(si_sdr(x, x)) > 50
+    assert 0 < float(si_sdr(noisy, x)) < 30
+    assert abs(float(si_sdr(2 * noisy, x)) - float(si_sdr(noisy, x))) < 0.01
+    assert float(sdr(noisy, x)) > 0
+
+
+def test_metrics_wrapper():
+    x = _speechlike()
+    rng = np.random.default_rng(4)
+    noisy = x + 0.05 * rng.standard_normal(len(x))
+    m = Metrics(["si-sdr", "lsd", "si-lsd", "stoi-ext", "sdr"])
+    out = m(noisy, x, FS, key="a")
+    assert set(out) == {"si-sdr", "lsd", "si-lsd", "stoi-ext", "sdr"}
+    assert out["si-sdr"] > 10
+
+
+def test_eval_metrics():
+    x = np.stack([_speechlike(seed=i) for i in range(2)])
+    rng = np.random.default_rng(5)
+    noisy = x + 0.05 * rng.standard_normal(x.shape)
+    ev = EvalMetrics(audio_fs=FS)
+    out = ev(noisy, x)
+    assert "lsd" in out and "si-sdr" in out and "estoi" in out
+    # synthetic multi-tone scores lower than real speech; just require
+    # clearly-intelligible territory
+    assert out["estoi"] > 0.4
