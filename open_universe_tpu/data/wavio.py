@@ -11,8 +11,25 @@ from pathlib import Path
 import numpy as np
 
 
+def _native():
+    """Prefer the C++ audio runtime (native/audio_io.cpp) when built."""
+    try:
+        from .. import native
+        if native.is_available():
+            return native
+    except Exception:
+        pass
+    return None
+
+
 def read_wav(path):
     """Returns (samples float32 (T, C), sample_rate)."""
+    nat = _native()
+    if nat is not None:
+        try:
+            return nat.read_wav(path)
+        except Exception:
+            pass
     path = str(path)
     with open(path, "rb") as f:
         riff = f.read(12)
@@ -92,6 +109,12 @@ def write_wav(path, samples, fs: int, bits: int = 16):
 
 def wav_info(path):
     """Header-only probe -> dict(num_frames, sample_rate, num_channels)."""
+    nat = _native()
+    if nat is not None:
+        try:
+            return nat.wav_info(path)
+        except Exception:
+            pass
     with open(str(path), "rb") as f:
         riff = f.read(12)
         if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
