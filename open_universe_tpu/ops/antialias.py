@@ -29,7 +29,7 @@ def binomial_filter(kernel_size: int) -> np.ndarray:
 
 def low_pass_filter(x, kernel_size: int):
     """Depthwise binomial low-pass, x ``(B, T, C)``, "same" padding."""
-    taps = jnp.asarray(binomial_filter(kernel_size))
+    taps = jnp.asarray(binomial_filter(kernel_size), dtype=x.dtype)
     c = x.shape[-1]
     kernel = jnp.broadcast_to(taps[:, None, None], (kernel_size, 1, c))
     lo = (kernel_size - 1) // 2

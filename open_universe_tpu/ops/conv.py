@@ -12,12 +12,38 @@ reference, NOT a code translation):
 TPU notes: a stride-R kernel-R conv is a pure reshape + matmul; XLA lowers
 ``lax.conv_general_dilated`` with NWC/WIO dimension numbers onto the MXU.
 """
+import contextlib
 import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# -------------------------------------------------------- compute precision
+# Global compute dtype for the heavy ops (convs/dense/GRU): params stay
+# float32, matmul operands are cast at use. bf16 halves HBM traffic on TPU
+# (the usual bottleneck) with negligible quality impact for this model.
+_COMPUTE_DTYPE = [jnp.float32]
+
+
+def set_compute_dtype(dtype):
+    """Set globally (affects subsequent traces). Use 'bfloat16' for prod."""
+    _COMPUTE_DTYPE[0] = jnp.dtype(dtype)
+
+
+def get_compute_dtype():
+    return _COMPUTE_DTYPE[0]
+
+
+@contextlib.contextmanager
+def compute_dtype(dtype):
+    old = _COMPUTE_DTYPE[0]
+    set_compute_dtype(dtype)
+    try:
+        yield
+    finally:
+        set_compute_dtype(old)
 
 
 def _same_pads(kernel_size: int, dilation: int = 1) -> tuple:
@@ -131,12 +157,13 @@ class Conv1d(nn.Module):
             pad = (0, 0)
         else:
             pad = self.padding
-        y = conv1d(x, kernel, stride=self.stride, padding=pad,
-                   dilation=self.dilation, groups=self.groups)
+        cd = get_compute_dtype()
+        y = conv1d(x.astype(cd), kernel.astype(cd), stride=self.stride,
+                   padding=pad, dilation=self.dilation, groups=self.groups)
         if self.use_bias:
             b = self.param("bias",
                            lambda k: _torch_conv_init(k, (self.features,), fan_in))
-            y = y + b
+            y = y + b.astype(cd)
         return y
 
 
@@ -170,11 +197,13 @@ class ConvTranspose1d(nn.Module):
         else:
             kernel = self.param("kernel",
                                 lambda k: _torch_conv_init(k, w_shape, fan_in))
-        y = conv_transpose1d(x, kernel, stride=self.stride)
+        cd = get_compute_dtype()
+        y = conv_transpose1d(x.astype(cd), kernel.astype(cd),
+                             stride=self.stride)
         if self.use_bias:
             b = self.param("bias",
                            lambda k: _torch_conv_init(k, (self.features,), fan_in))
-            y = y + b
+            y = y + b.astype(cd)
         return y
 
 
@@ -198,9 +227,10 @@ class Dense(nn.Module):
         else:
             kernel = self.param("kernel",
                                 lambda k: _torch_conv_init(k, w_shape, in_dim))
-        y = x @ kernel
+        cd = get_compute_dtype()
+        y = x.astype(cd) @ kernel.astype(cd)
         if self.use_bias:
             b = self.param("bias",
                            lambda k: _torch_conv_init(k, (self.features,), in_dim))
-            y = y + b
+            y = y + b.astype(cd)
         return y

@@ -45,7 +45,8 @@ def resample(x, orig_freq: int, new_freq: int):
     k = jnp.asarray(kernels)  # (new, n_taps)
     # correlation (no kernel flip): phase-p output at block q is
     # sum_d x[q+d] * K_p[d + width]
-    ker = jnp.broadcast_to(k[:, :, None, None], (new, n_taps, 1, c))
+    ker = jnp.broadcast_to(k[:, :, None, None].astype(x.dtype),
+                           (new, n_taps, 1, c))
     outs = []
     for p in range(new):
         y = jax.lax.conv_general_dilated(

@@ -73,7 +73,8 @@ def stft(x, n_fft: int, hop: int, win_length: int = None, window=None,
             x, ((0, 0), (p, p)))
     frames = frame_signal(x, n_fft, hop)
     frames = frames * window[None, None, :]
-    return jnp.fft.rfft(frames, axis=-1)
+    # FFT requires f32; upstream may be running in bf16
+    return jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
 
 
 def _pad_reflect(x, lo: int, hi: int):

@@ -70,16 +70,23 @@ def test_gru_matches_torch(bidirectional, num_layers):
     p = jax.tree_util.tree_map(np.array, params)["params"]
     with torch.no_grad():
         for layer in range(num_layers):
-            dirs = ["fwd", "bwd"] if bidirectional else ["fwd"]
-            for d_i, d in enumerate(dirs):
-                sfx = "_reverse" if d == "bwd" else ""
-                name = f"l{layer}_{d}"
-                p[name]["w_ih"] = getattr(
-                    tg, f"weight_ih_l{layer}{sfx}").numpy().T
-                p[name]["w_hh"] = getattr(
-                    tg, f"weight_hh_l{layer}{sfx}").numpy().T
-                p[name]["b_ih"] = getattr(tg, f"bias_ih_l{layer}{sfx}").numpy()
-                p[name]["b_hh"] = getattr(tg, f"bias_hh_l{layer}{sfx}").numpy()
+            if bidirectional:
+                for d, sfx in [("fwd", ""), ("bwd", "_reverse")]:
+                    blk = p[f"l{layer}"]
+                    blk[f"{d}_w_ih"] = getattr(
+                        tg, f"weight_ih_l{layer}{sfx}").numpy().T
+                    blk[f"{d}_w_hh"] = getattr(
+                        tg, f"weight_hh_l{layer}{sfx}").numpy().T
+                    blk[f"{d}_b_ih"] = getattr(
+                        tg, f"bias_ih_l{layer}{sfx}").numpy()
+                    blk[f"{d}_b_hh"] = getattr(
+                        tg, f"bias_hh_l{layer}{sfx}").numpy()
+            else:
+                name = f"l{layer}_fwd"
+                p[name]["w_ih"] = getattr(tg, f"weight_ih_l{layer}").numpy().T
+                p[name]["w_hh"] = getattr(tg, f"weight_hh_l{layer}").numpy().T
+                p[name]["b_ih"] = getattr(tg, f"bias_ih_l{layer}").numpy()
+                p[name]["b_hh"] = getattr(tg, f"bias_hh_l{layer}").numpy()
         yt, _ = tg(torch.from_numpy(x))
 
     y = model.apply({"params": p}, jnp.asarray(x))
