@@ -1,0 +1,44 @@
+"""Multi-host utilities.
+
+TPU-native replacement for the reference's DDP helpers (utils/ddp.py:23-68
+env-var rank discovery + Lightning sync_dist): JAX's coordinator handles
+rank discovery; metric reduction uses a tiny pmapped psum.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Initialize multi-host JAX (no-op when single-process)."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (ValueError, RuntimeError):
+        pass  # already initialized or single-host
+    return jax.process_index(), jax.process_count()
+
+
+def is_rank_zero() -> bool:
+    return jax.process_index() == 0
+
+
+def all_mean_scalar_dict(metrics: dict) -> dict:
+    """Mean of host-local scalar metrics across all processes
+    (the reference's sync_dist=True equivalent)."""
+    if jax.process_count() == 1:
+        return {k: float(v) for k, v in metrics.items()}
+    from jax.experimental import multihost_utils
+
+    keys = sorted(metrics)
+    local = np.asarray([float(metrics[k]) for k in keys], np.float32)
+    summed = multihost_utils.process_allgather(local).sum(axis=0)
+    return {k: float(summed[i] / jax.process_count())
+            for i, k in enumerate(keys)}
+
+
+def worker_seed(base_seed: int) -> int:
+    """Deterministic per-host seed folding (replaces pytorch_worker_seed)."""
+    return base_seed * 1000003 + jax.process_index()

@@ -1,0 +1,44 @@
+"""Metrics logging: JSONL always, Weights & Biases when available.
+
+Parity target: the reference's W&B logger + per-step loss logging
+(train.py:102-137, universe_gan.py:306-347). wandb is optional here.
+"""
+import json
+import time
+from pathlib import Path
+
+
+class MetricsLogger:
+    def __init__(self, log_dir, project=None, run_name=None,
+                 use_wandb: bool = True, config: dict = None):
+        self.log_dir = Path(log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self._fh = open(self.log_dir / "metrics.jsonl", "a")
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                self._wandb = wandb.init(project=project or "open-universe-tpu",
+                                         name=run_name, config=config,
+                                         dir=str(self.log_dir), resume="allow")
+            except Exception:
+                self._wandb = None
+
+    def log(self, step: int, metrics: dict):
+        rec = {"step": step, "time": time.time(),
+               **{k: float(v) for k, v in metrics.items()}}
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+        if self._wandb is not None:
+            try:
+                self._wandb.log(metrics, step=step)
+            except Exception:
+                pass
+
+    def close(self):
+        self._fh.close()
+        if self._wandb is not None:
+            try:
+                self._wandb.finish()
+            except Exception:
+                pass
