@@ -33,13 +33,17 @@ def main(argv=None):
     from ..config import load_config
     from ..metrics.eval import EvalMetrics
     from ..parallel import default_mesh, make_parallel_train_step
+    from ..parallel.multihost import initialize_distributed, is_rank_zero
     from ..runtime import build_datamodule, build_model, build_trainer
     from ..training.checkpoint import (
         latest_step,
         restore_checkpoint,
         save_checkpoint,
     )
+    from ..training.cloud_sync import CloudBackup
+    from ..utils.logging import MetricsLogger
 
+    initialize_distributed()
     cfg = load_config(args.config, args.overrides)
     run = cfg["run"]
     if args.max_steps is not None:
@@ -56,12 +60,25 @@ def main(argv=None):
     key, k_init = jax.random.split(key)
     audio_len = int(cfg["datamodule"].get("audio_len", 4.0)
                     * cfg["model"].get("fs", 16000))
-    if cfg["trainer"].get("kind") == "mdn":
-        state = trainer.init(k_init, batch=cfg["datamodule"].get(
-            "batch_size", 8))
-    else:
-        state = trainer.init(k_init, example_len=audio_len,
-                             batch=cfg["datamodule"].get("batch_size", 8))
+
+    # init on host CPU (one transfer) — on-device init costs hundreds of
+    # small compiles over a remote-compile TPU tunnel
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    init_ctx = jax.default_device(cpu) if cpu is not None else \
+        __import__("contextlib").nullcontext()
+    with init_ctx:
+        if cfg["trainer"].get("kind") == "mdn":
+            state = trainer.init(k_init, batch=cfg["datamodule"].get(
+                "batch_size", 8))
+        else:
+            # params are length-independent; init with a short example
+            init_len = min(audio_len, model.tot_ds * 10)
+            state = trainer.init(k_init, example_len=init_len,
+                                 batch=cfg["datamodule"].get("batch_size", 8))
+    state = jax.device_put(state)
 
     ckpt_dir = Path(run["ckpt_dir"])
     start_step = 0
@@ -82,14 +99,16 @@ def main(argv=None):
         step_fn = jax.jit(trainer.train_step, donate_argnums=(0,))
 
     eval_metrics = EvalMetrics(audio_fs=cfg["model"].get("fs", 16000))
-    metrics_path = ckpt_dir / "metrics.jsonl"
     ckpt_dir.mkdir(parents=True, exist_ok=True)
-    mlog = open(metrics_path, "a")
+    mlog = MetricsLogger(ckpt_dir, run_name=cfg.get("name"),
+                         use_wandb=run.get("wandb", False) and is_rank_zero(),
+                         config=cfg)
+    backup = CloudBackup(ckpt_dir)
+    if backup.enabled:
+        backup.trigger()
 
     def log(step, metrics, prefix=""):
-        rec = {"step": step, **{k: float(v) for k, v in metrics.items()}}
-        mlog.write(json.dumps(rec) + "\n")
-        mlog.flush()
+        mlog.log(step, metrics)
         msg = " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
         print(f"[{prefix}{step}] {msg}", flush=True)
 
@@ -119,9 +138,13 @@ def main(argv=None):
             if step % run.get("ckpt_every", 5000) == 0:
                 save_checkpoint(ckpt_dir, step, jax.device_get(state),
                                 config=cfg)
+                backup.trigger()
         epoch += 1
 
     save_checkpoint(ckpt_dir, step, jax.device_get(state), config=cfg)
+    backup.trigger()
+    backup.wait()
+    mlog.close()
     print(f"training done at step {step}; checkpoints in {ckpt_dir}")
 
 
