@@ -26,6 +26,19 @@ def _uniform_init(bound):
     return init
 
 
+# Pallas fused-recurrence toggle (see ops/pallas_gru.py). Off by default;
+# enable for TPU serving via set_use_pallas_gru(True).
+_USE_PALLAS_GRU = [False]
+
+
+def set_use_pallas_gru(enabled: bool):
+    _USE_PALLAS_GRU[0] = bool(enabled)
+
+
+def use_pallas_gru() -> bool:
+    return _USE_PALLAS_GRU[0]
+
+
 def gru_scan(x_proj, h0, w_hh, b_hh, reverse: bool = False, unroll: int = 2):
     """Run the recurrence. x_proj: (B, T, 3H) precomputed input projections."""
     hidden = h0.shape[-1]
@@ -103,23 +116,28 @@ class BiGRUFused(nn.Module):
         w_hh = jnp.stack([w_hh_f, w_hh_b]).astype(cd)       # (2, H, 3H)
         b_hh = jnp.stack([b_hh_f, b_hh_b]).astype(cd)
 
-        def step(hc, inp):
-            # hc: (2B, H); per-direction recurrent matmul batched as
-            # block-diagonal einsum over the direction axis
-            h2 = hc.reshape(2, b, h)
-            gates_h = jnp.einsum("dbh,dhg->dbg", h2, w_hh) + b_hh[:, None, :]
-            gates_h = gates_h.reshape(2 * b, 3 * h)
-            hr, hz, hn = jnp.split(gates_h, 3, axis=-1)
-            xr, xz, xn = jnp.split(inp, 3, axis=-1)
-            r = jax.nn.sigmoid(xr + hr)
-            z = jax.nn.sigmoid(xz + hz)
-            n = jnp.tanh(xn + r * hn)
-            h_new = (1.0 - z) * n + z * hc
-            return h_new, h_new
-
-        h0 = jnp.zeros((2 * b, h), x.dtype)
         xs = jnp.swapaxes(xp, 0, 1)  # (T, 2B, 3H)
-        _, ys = jax.lax.scan(step, h0, xs, unroll=2)
+        if use_pallas_gru():
+            from .pallas_gru import pallas_bigru_sequence
+            ys = pallas_bigru_sequence(xs, w_hh, b_hh)
+        else:
+            def step(hc, inp):
+                # hc: (2B, H); per-direction recurrent matmul batched as
+                # block-diagonal einsum over the direction axis
+                h2 = hc.reshape(2, b, h)
+                gates_h = (jnp.einsum("dbh,dhg->dbg", h2, w_hh)
+                           + b_hh[:, None, :])
+                gates_h = gates_h.reshape(2 * b, 3 * h)
+                hr, hz, hn = jnp.split(gates_h, 3, axis=-1)
+                xr, xz, xn = jnp.split(inp, 3, axis=-1)
+                r = jax.nn.sigmoid(xr + hr)
+                z = jax.nn.sigmoid(xz + hz)
+                n = jnp.tanh(xn + r * hn)
+                h_new = (1.0 - z) * n + z * hc
+                return h_new, h_new
+
+            h0 = jnp.zeros((2 * b, h), x.dtype)
+            _, ys = jax.lax.scan(step, h0, xs, unroll=2)
         ys = jnp.swapaxes(ys, 0, 1)  # (2B, T, H)
         fwd, bwd = ys[:b], ys[b:, ::-1, :]
         return jnp.concatenate([fwd, bwd], axis=-1)
