@@ -20,6 +20,9 @@ def main(argv=None):
     parser.add_argument("--step", type=int, default=None)
     parser.add_argument("--no-ema", action="store_true")
     parser.add_argument("--seed", type=int, default=682479040)
+    parser.add_argument("--text-dir", default=None,
+                        help="folder of <stem>.txt transcripts for "
+                             "text-conditioned models (enhance_NS parity)")
 
     from ..models.universe.model import UniverseModel
     from .common import add_enhance_arguments, collect_enhance_kwargs
@@ -55,9 +58,19 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
 
+    tokenizer = None
+    if args.text_dir is not None:
+        from ..text import CharTokenizer
+        tcfg = cfg["model"].get("text", {})
+        tokenizer = CharTokenizer(max_len=tcfg.get("text_max_len", 128))
+
     @jax.jit
     def enhance(params, mix, key):
         return model.enhance(params, mix, key, **kwargs)
+
+    @jax.jit
+    def enhance_text(params, mix, key, ids, mask):
+        return model.enhance(params, mix, key, text=(ids, mask), **kwargs)
 
     for src, dst in pairs:
         wav, fs = read_wav(src)
@@ -73,7 +86,19 @@ def main(argv=None):
         grid = model.tot_ds * 25  # 0.25 s at 16 kHz
         t_pad = -(-t // grid) * grid
         xp = np.pad(x, (0, t_pad - t))
-        est = enhance(params, jnp.asarray(xp, jnp.float32), k)
+        txt = None
+        if tokenizer is not None:
+            tp = Path(args.text_dir) / f"{src.stem}.txt"
+            if tp.exists():
+                txt = tp.read_text().strip()
+                if txt == "<not-available>":
+                    txt = None
+        if txt:
+            ids, mask = tokenizer([txt])
+            est = enhance_text(params, jnp.asarray(xp, jnp.float32)[None, :],
+                               k, jnp.asarray(ids), jnp.asarray(mask))[0]
+        else:
+            est = enhance(params, jnp.asarray(xp, jnp.float32), k)
         est = np.asarray(est)[:t]
         if fs != fs_model:
             from scipy.signal import resample_poly

@@ -98,6 +98,12 @@ def main(argv=None):
     else:
         step_fn = jax.jit(trainer.train_step, donate_argnums=(0,))
 
+    tokenizer = None
+    if cfg["trainer"].get("kind") == "text_gan":
+        from ..text import CharTokenizer
+        tcfg = cfg["model"].get("text", {})
+        tokenizer = CharTokenizer(max_len=tcfg.get("text_max_len", 128))
+
     eval_metrics = EvalMetrics(audio_fs=cfg["model"].get("fs", 16000))
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     mlog = MetricsLogger(ckpt_dir, run_name=cfg.get("name"),
@@ -121,7 +127,15 @@ def main(argv=None):
             if step >= max_steps:
                 break
             key, k_step = jax.random.split(key)
-            batch = (jnp.asarray(noisy), jnp.asarray(clean))
+            if tokenizer is not None:
+                ids, tmask = tokenizer(txts)
+                batch = {"mix": jnp.asarray(noisy),
+                         "target": jnp.asarray(clean),
+                         "text_ids": jnp.asarray(ids),
+                         "text_mask": jnp.asarray(tmask),
+                         "pad_mask": jnp.asarray(mask < 0.5)}
+            else:
+                batch = (jnp.asarray(noisy), jnp.asarray(clean))
             state, metrics = step_fn(state, batch, k_step)
             step += 1
 

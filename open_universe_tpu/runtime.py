@@ -21,9 +21,13 @@ def build_model(model_cfg: dict) -> UniverseModel:
     edm = EDMConfig(**edm_cfg) if edm_cfg else None
     norm = NormalizationConfig(**m.pop("normalization", {}))
     m.pop("seq_model", None)
+    text_cfg = m.pop("text", None)
     cfg = UniverseConfig(
         diffusion=diff, edm=edm, normalization=norm,
         **{k: (tuple(v) if isinstance(v, list) else v) for k, v in m.items()})
+    if text_cfg:
+        from .models.universe.model_text import TextConfig, TextUniverseModel
+        return TextUniverseModel(cfg, TextConfig(**text_cfg))
     return UniverseModel(cfg)
 
 
@@ -35,6 +39,12 @@ def build_trainer(model: UniverseModel, trainer_cfg: dict):
             t[k] = tuple(tuple(x) if isinstance(x, list) else x for x in t[k])
     if kind == "gan":
         return GanTrainer(model, GanTrainConfig(**t))
+    if kind == "text_gan":
+        from .training.text_gan_trainer import (
+            TextGanTrainConfig,
+            TextGanTrainer,
+        )
+        return TextGanTrainer(model, TextGanTrainConfig(**t))
     if kind == "mdn":
         return MdnTrainer(model, MdnTrainConfig(**t))
     raise ValueError(f"unknown trainer kind {kind}")
