@@ -168,6 +168,9 @@ def validate(state, trainer, dm, eval_metrics, run, key, step, log):
 
     vals = {}
     n_enh = 0
+    n_samples_saved = 0
+    num_save = run.get("num_val_samples", 0)
+    sample_dir = Path(run["ckpt_dir"]) / "val_samples"
     for i, (noisy, clean, txts, mask) in enumerate(dm.iter_split("val")):
         key, k1, k2 = jax.random.split(key, 3)
         batch = (jnp.asarray(noisy), jnp.asarray(clean))
@@ -182,6 +185,25 @@ def validate(state, trainer, dm, eval_metrics, run, key, step, log):
             m = eval_metrics(np.asarray(est), np.asarray(batch[1][..., 0]))
             for k, v in m.items():
                 vals.setdefault(f"val/{k}", []).append(v)
+            # save a few audio samples (reference's TB audio dumps,
+            # universe.py:663-704)
+            if n_samples_saved < num_save:
+                from ..data.wavio import write_wav
+                sample_dir.mkdir(parents=True, exist_ok=True)
+                fs = trainer.model.cfg.fs
+                est_np = np.asarray(est)
+                for b in range(min(est_np.shape[0],
+                                   num_save - n_samples_saved)):
+                    sid = f"{step}_{n_samples_saved}"
+                    peak = max(np.abs(est_np[b]).max(), 1e-6)
+                    write_wav(sample_dir / f"enh_{sid}.wav",
+                              est_np[b] * (0.95 / max(peak, 0.95)), fs)
+                    if step == run.get("val_every", 5000):  # first val only
+                        write_wav(sample_dir / f"mix_{sid}.wav",
+                                  np.asarray(noisy)[b, :, 0], fs)
+                        write_wav(sample_dir / f"target_{sid}.wav",
+                                  np.asarray(clean)[b, :, 0], fs)
+                    n_samples_saved += 1
     log(step, {k: float(np.mean(v)) for k, v in vals.items()}, prefix="val ")
 
 
