@@ -93,3 +93,34 @@ def test_eval_metrics():
     # synthetic multi-tone scores lower than real speech; just require
     # clearly-intelligible territory
     assert out["estoi"] > 0.4
+
+
+def test_wer_wildcard_edit_distance():
+    from open_universe_tpu.metrics.wer import wer, word_edit_distance
+
+    # the reference's own self-test cases (metrics/wer.py:226-243)
+    wc = "<ignore/>"
+    assert word_edit_distance("hello robin!", "hello robin!", wildcard=wc)[0] == 0
+    assert word_edit_distance("hello robin!", "hello robin", wildcard=wc)[0] == 0
+    assert word_edit_distance("hello robin!", "hello <ignore/> robin", wildcard=wc)[0] == 0
+    assert word_edit_distance("hello robin!", "hello <ignore/>", wildcard=wc)[0] == 0
+    d, n1, n2 = word_edit_distance(
+        "hello <ignore/> robin", "hello robin shark", wildcard=wc)
+    assert d == 1 and n1 == 2 and n2 == 3
+    # wildcard absorbs multiple words
+    assert word_edit_distance("hello <ignore/>", "hello robin shark west",
+                              wildcard=wc)[0] == 0
+
+
+def test_wer_corpus_and_normalizer():
+    from open_universe_tpu.metrics.wer import wer
+
+    refs = ["the cat sat on the mat", "i won't go"]
+    hyps = ["the cat sat on the mat", "i will not go"]
+    assert wer(refs, hyps) == 0.0
+    # one substitution over 6+4=10 ref words (won't -> will not makes 4)
+    hyps2 = ["the dog sat on the mat", "i will not go"]
+    assert abs(wer(refs, hyps2) - 1 / 10) < 1e-9
+    # punctuation / case insensitive; empty-vs-nonempty counts all words
+    assert wer(["Hello, World!"], ["hello world"]) == 0.0
+    assert wer(["a b c"], [""]) == 1.0
