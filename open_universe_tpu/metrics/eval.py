@@ -13,10 +13,7 @@ from .lsd import log_spectral_distance
 from .sisdr import si_sdr
 from .stoi import stoi
 
-try:  # optional C-extension PESQ, as in the reference
-    from pesq import pesq as _pesq
-except ImportError:
-    _pesq = None
+from .pesq import is_available as _pesq_available, pesq as _pesq_fn
 
 
 class EvalMetrics:
@@ -56,11 +53,11 @@ class EvalMetrics:
             if vals:
                 metrics["estoi"] = float(np.mean(vals))
 
-        if _pesq is not None:
+        if _pesq_available():
             vals = []
             for e, r in zip(est16, ref16):
                 try:
-                    vals.append(_pesq(self.eval_fs, r, e, self.mode))
+                    vals.append(_pesq_fn(self.eval_fs, r, e, self.mode))
                 except Exception:
                     continue
             if vals:

@@ -2,9 +2,10 @@
 
 Parity target: reference ``Metrics`` (metrics/wrapper.py:54-281): a single
 entry point computing a configurable set of metrics per file with a
-resample cache. Native set here: pesq-wb/nb (if the C ext exists),
-stoi / estoi, lsd / si-lsd, sdr / si-sdr. DNSMOS/PLCMOS (onnxruntime) and
-LPS (wav2vec2 CTC) are gated on their optional deps.
+resample cache. Native set here: pesq-wb/nb (in-repo C++ P.862-family
+scorer, or the canonical C ext when installed), stoi / estoi, lsd /
+si-lsd, sdr / si-sdr. DNSMOS/PLCMOS (onnxruntime) and LPS (wav2vec2 CTC)
+are gated on their optional deps.
 """
 import math
 
@@ -14,10 +15,7 @@ from .lsd import log_spectral_distance
 from .sisdr import sdr, si_sdr
 from .stoi import stoi
 
-try:
-    from pesq import pesq as _pesq
-except ImportError:
-    _pesq = None
+from .pesq import is_available as _pesq_available, pesq as _pesq_fn
 
 
 class Metrics:
@@ -52,13 +50,13 @@ class Metrics:
         for m in self.metrics:
             try:
                 if m in ("pesq-wb", "pesq-nb"):
-                    if _pesq is None:
+                    if not _pesq_available():
                         continue
                     mode = "wb" if m == "pesq-wb" else "nb"
                     tfs = 16000 if mode == "wb" else 8000
                     e = self._resampled((key, "est"), est, fs, tfs)
                     r = self._resampled((key, "ref"), ref, fs, tfs)
-                    out[m] = float(_pesq(tfs, r, e, mode))
+                    out[m] = float(_pesq_fn(tfs, r, e, mode))
                 elif m == "stoi":
                     out[m] = stoi(est, ref, fs, extended=False)
                 elif m == "stoi-ext":

@@ -124,3 +124,39 @@ def test_wer_corpus_and_normalizer():
     # punctuation / case insensitive; empty-vs-nonempty counts all words
     assert wer(["Hello, World!"], ["hello world"]) == 0.0
     assert wer(["a b c"], [""]) == 1.0
+
+
+def test_native_pesq_behavioral_anchors():
+    from open_universe_tpu.metrics.pesq import native_pesq
+
+    def speechlike_h(fs, seconds=3.0, seed=0):
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(fs * seconds)) / fs
+        ph = np.cumsum(2 * np.pi * 120 * (1 + 0.1 * np.sin(2 * np.pi * 2.1 * t)) / fs)
+        x = sum(np.sin(h * ph) / h for h in range(1, 12))
+        x = x * np.clip(np.sin(2 * np.pi * 1.5 * t), 0, None)
+        x = x + 0.001 * rng.standard_normal(len(t))
+        return (x / np.abs(x).max() * 0.3).astype(np.float32)
+
+    for fs, mode, mx in ((16000, "wb", 4.64), (8000, "nb", 4.55)):
+        x = speechlike_h(fs)
+        # identity -> max MOS-LQO; invariant to gain and small delay
+        assert abs(native_pesq(fs, x, x, mode) - mx) < 0.02
+        assert abs(native_pesq(fs, x, 0.5 * x, mode) - mx) < 0.02
+        shifted = np.concatenate([np.zeros(100, np.float32), x])
+        assert abs(native_pesq(fs, x, shifted, mode) - mx) < 0.02
+        # monotone in SNR, spanning the scale
+        noise = np.random.default_rng(1).standard_normal(len(x)).astype(np.float32)
+        scores = []
+        for snr in (40, 20, 0):
+            g = np.sqrt((x**2).mean() / (noise**2).mean()) * 10 ** (-snr / 20)
+            scores.append(native_pesq(fs, x, x + g * noise, mode))
+        assert scores[0] > scores[1] > scores[2]
+        assert scores[0] > 3.5 and scores[2] < 1.6
+
+
+def test_pesq_in_metrics_wrapper():
+    x = _speechlike()
+    m = Metrics(["pesq-wb", "si-sdr"])
+    out = m(x, x, FS, key="a")
+    assert out["pesq-wb"] > 4.5
