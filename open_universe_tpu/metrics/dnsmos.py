@@ -1,10 +1,12 @@
-"""DNSMOS (and PLCMOS-style) ONNX MOS predictors — dependency-gated.
+"""DNSMOS (and PLCMOS-style) ONNX MOS predictors.
 
 Parity target: reference ``Compute_DNSMOS``
 (metrics/dnsmos/dnsmos_local.py:24-252): sig/bak/ovr + p808 ONNX models
-over 9-s segments with polynomial calibration. onnxruntime and the ONNX
-model files are absent from this image, so construction is gated; the
-interface matches so dropping the official model files in just works.
+over 9-s segments with polynomial calibration. The ONNX graphs run on
+onnxruntime when installed, otherwise on the in-repo
+``open_universe_tpu.onnxrt`` numpy executor — so only the official model
+files (not fetchable in this zero-egress image) remain gated; drop them
+into ``model_dir`` and this works with no extra dependencies.
 """
 import math
 from pathlib import Path
@@ -19,9 +21,8 @@ class ComputeDNSMOS:
     def __init__(self, model_dir, personalized: bool = False):
         try:
             import onnxruntime as ort
-        except ImportError as e:
-            raise RuntimeError(
-                "DNSMOS needs onnxruntime (not in this image)") from e
+        except ImportError:
+            from .. import onnxrt as ort  # in-repo numpy executor
         model_dir = Path(model_dir)
         primary = model_dir / "sig_bak_ovr.onnx"
         p808 = model_dir / "model_v8.onnx"
