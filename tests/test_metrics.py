@@ -160,3 +160,27 @@ def test_pesq_in_metrics_wrapper():
     m = Metrics(["pesq-wb", "si-sdr"])
     out = m(x, x, FS, key="a")
     assert out["pesq-wb"] > 4.5
+
+
+def test_lps_with_stub_predictor():
+    from open_universe_tpu.metrics.lps import (
+        LevenshteinPhonemeSimilarity, ctc_greedy_collapse, levenshtein)
+
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein([1, 2, 3], [1, 3]) == 1
+    assert ctc_greedy_collapse([0, 5, 5, 0, 3, 3, 3, 0, 5], 0) == [5, 3, 5]
+
+    # stub predictor: one phoneme per quartile keyed off local energy
+    def stub(x):
+        n = len(x) // 4
+        return [int(np.mean(x[i * n:(i + 1) * n] ** 2) > 4.0)
+                for i in range(4)]
+
+    lps = LevenshteinPhonemeSimilarity(predictor=stub)
+    x = np.random.default_rng(0).standard_normal(16000).astype(np.float32)
+    assert lps(x, x) == 1.0
+    assert lps(-x, x) == 1.0  # identical energies -> same stub phonemes
+    # louder second half flips 2 of 4 phonemes -> similarity drops
+    y = x.copy()
+    y[8000:] *= 3.0
+    assert lps(y, x) < 1.0
