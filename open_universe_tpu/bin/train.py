@@ -70,7 +70,9 @@ def main(argv=None):
     init_ctx = jax.default_device(cpu) if cpu is not None else \
         __import__("contextlib").nullcontext()
     with init_ctx:
-        if cfg["trainer"].get("kind") == "mdn":
+        if cfg["trainer"].get("kind") == "lora":
+            state = trainer.init(k_init)
+        elif cfg["trainer"].get("kind") == "mdn":
             state = trainer.init(k_init, batch=cfg["datamodule"].get(
                 "batch_size", 8))
         else:
@@ -180,7 +182,14 @@ def validate(state, trainer, dm, eval_metrics, run, key, step, log):
             vals.setdefault("val/score", []).append(float(losses.mean()))
         if n_enh < run.get("max_enh_batches", 4):
             n_enh += 1
-            params = state.ema.params if hasattr(state, "ema") else None
+            if hasattr(trainer, "effective_params"):  # LoRA: base + adapters
+                # device_get: adapter state may live on a mesh while the
+                # frozen base params are single-device host constants
+                params = trainer.effective_params(
+                    jax.device_get(state.lora),
+                    jax.device_get(state.train_extra))
+            else:
+                params = state.ema.params if hasattr(state, "ema") else None
             est = trainer.model.enhance(params, batch[0][..., 0], k2)
             m = eval_metrics(np.asarray(est), np.asarray(batch[1][..., 0]))
             for k, v in m.items():

@@ -47,7 +47,43 @@ def build_trainer(model: UniverseModel, trainer_cfg: dict):
         return TextGanTrainer(model, TextGanTrainConfig(**t))
     if kind == "mdn":
         return MdnTrainer(model, MdnTrainConfig(**t))
+    if kind == "lora":
+        return _build_lora_trainer(model, t)
     raise ValueError(f"unknown trainer kind {kind}")
+
+
+def _build_lora_trainer(model: UniverseModel, t: dict):
+    """LoRA fine-tuning from a pretrained checkpoint (reference
+    UniverseLoRA flow, train.py -> networks/universe/lora.py:39-121).
+
+    Trainer config keys: ``pretrained_ckpt`` (required), optional
+    ``pretrained_use_ema`` and ``losses`` ({name: {weight, window_sz,
+    ...}}); the remainder feeds LoraTrainConfig. The model architecture is
+    taken from the pretrained checkpoint's config so the adapters always
+    match the loaded weights.
+    """
+    from .losses.combine import MultiLoss
+    from .losses.multires_stft import MultiResL1SpecLoss
+    from .training.checkpoint import load_model_for_inference
+    from .training.lora_trainer import LoraTrainConfig, UniverseLoRATrainer
+
+    pretrained = t.pop("pretrained_ckpt")
+    use_ema = t.pop("pretrained_use_ema", True)
+    loss_cfg = t.pop("losses", None) or {
+        "mrstft": {"weight": 1.0, "window_sz": [512], "time_domain_weight": 0.5}}
+    losses = {}
+    for name, lc in loss_cfg.items():
+        lc = dict(lc)
+        weight = lc.pop("weight", 1.0)
+        lc = {k: (tuple(v) if isinstance(v, list) else v) for k, v in lc.items()}
+        spec = MultiResL1SpecLoss(**lc)
+        # MultiLoss calls fn(y_hat, y); MultiResL1SpecLoss is (target, est)
+        losses[name] = (weight, lambda y_hat, y, _s=spec: _s(y, y_hat))
+    base_model, params, _ = load_model_for_inference(pretrained,
+                                                     use_ema=use_ema)
+    lora_model = UniverseLoRATrainer.lora_ready_model(base_model)
+    return UniverseLoRATrainer(lora_model, params, MultiLoss(losses),
+                               LoraTrainConfig(**t))
 
 
 def build_datamodule(dm_cfg: dict, splits=("train", "val", "test"),

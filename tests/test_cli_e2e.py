@@ -118,3 +118,35 @@ def test_eval_metrics_and_table(workdir, capsys):
     table_main([str(store_path)])
     text = capsys.readouterr().out
     assert "si-sdr" in text and "lsd" in text
+
+
+def test_lora_finetune_cli(workdir):
+    """LoRA fine-tune from the GAN checkpoint created above (reference
+    experiment universepp_lora_finetune -> UniverseLoRA, lora.py:39)."""
+    from open_universe_tpu.bin.train import main as train_main
+
+    root, cfg_path, data = workdir
+    base = yaml.safe_load(Path(cfg_path).read_text())
+    cfg = {
+        "name": "tiny_lora",
+        "model": {"fs": FS},
+        "trainer": {
+            "kind": "lora", "pretrained_ckpt": str(root / "exp"),
+            "lora_rank": 2, "n_steps_backprop": 1,
+            "t_warmup": 2, "t_cosine": 5, "t_max": 10,
+            "losses": {"mrstft": {"weight": 1.0, "window_sz": [64],
+                                  "time_domain_weight": 0.5}},
+        },
+        "datamodule": dict(base["datamodule"]),
+        "run": {
+            "max_steps": 2, "val_every": 2, "log_every": 1,
+            "ckpt_every": 2, "ckpt_dir": str(root / "exp_lora"), "seed": 0,
+            "max_enh_batches": 1,
+        },
+    }
+    lora_cfg = root / "tiny_lora.yaml"
+    with open(lora_cfg, "w") as f:
+        yaml.safe_dump(cfg, f)
+    train_main(["--config", str(lora_cfg)])
+    assert (root / "exp_lora" / "last.json").exists()
+    assert json.loads((root / "exp_lora" / "last.json").read_text())["step"] == 2
