@@ -30,14 +30,17 @@ def run_once():
     from open_universe_tpu.ops.conv import set_compute_dtype
 
     fs = 16000
-    batch = 64
+    batch = 128          # throughput plateaus at 128 (== 256) on one chip
     seconds = 4.0
     t = int(fs * seconds)
     n_iter = 2
 
     # production serving precision: bf16 compute, f32 params/sampler state
-    # (quality-verified: corr 1.000000 with f32 output)
+    # (quality-verified: corr 1.000000 with f32 output); fused Pallas GRU
+    # recurrence for the bottlenecks (~2.5% end-to-end)
     set_compute_dtype("bfloat16")
+    from open_universe_tpu.ops.gru import set_use_pallas_gru
+    set_use_pallas_gru(True)
     model = UniverseModel(UniverseConfig())
     params = model.init(jax.random.PRNGKey(0), example_len=1600, batch=1)
     params = jax.device_put(params)

@@ -229,3 +229,86 @@ def test_conditioner_network_parity():
     for c_ours, c_ref in zip(conds, conds_ref):
         np.testing.assert_allclose(np.swapaxes(np.asarray(c_ours), 1, 2),
                                    c_ref.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    """bin.convert_checkpoint: reference Lightning ckpt (+ torch_ema
+    shadows) + hydra config -> servable checkpoint dir (enhance-ready)."""
+    import itertools
+
+    import yaml
+
+    from open_universe_tpu.bin.convert_checkpoint import convert
+    from open_universe_tpu.training.checkpoint import load_model_for_inference
+
+    ref_score, ref_cond = _load_reference()
+    torch.manual_seed(7)
+    kw = dict(fb_kernel_size=3, rate_factors=list(CFG.rate_factors),
+              n_channels=CFG.n_channels, n_rff=CFG.n_rff,
+              noise_cond_dim=CFG.noise_cond_dim, extra_conv_block=True,
+              use_weight_norm=True, use_antialiasing=True,
+              time_embedding="simple")
+    tscore = ref_score.ScoreNetwork(**kw).eval()
+    tcond = ref_cond.ConditionerNetwork(
+        fb_kernel_size=3, rate_factors=list(CFG.rate_factors),
+        n_channels=CFG.n_channels, n_mels=CFG.n_mels,
+        n_mel_oversample=CFG.n_mel_oversample, encoder_gru_residual=True,
+        extra_conv_block=True, use_weight_norm=True,
+        use_antialiasing=False).eval()
+
+    sd = {f"score_model.{k}": v for k, v in tscore.state_dict().items()}
+    sd.update({f"condition_model.{k}": v
+               for k, v in tcond.state_dict().items()})
+    # torch_ema shadows in model_parameters() order (universe.py:130-133),
+    # perturbed so EMA weights are distinguishable from the raw weights
+    shadows = [p.detach().clone() * 1.5 for p in itertools.chain(
+        tscore.parameters(), tcond.parameters())]
+    ckpt = {"state_dict": sd, "global_step": 123,
+            "ema": {"decay": 0.999, "num_updates": 10,
+                    "shadow_params": shadows}}
+    ckpt_path = tmp_path / "last.ckpt"
+    torch.save(ckpt, ckpt_path)
+
+    ref_cfg = {"model": {
+        "fs": CFG.fs,
+        "normalization_norm": 2,
+        "normalization_kwargs": {"ref": "both", "level_db": -26.0},
+        "edm": {"noise": 0.25},
+        "score_model": {"fb_kernel_size": 3,
+                        "rate_factors": list(CFG.rate_factors),
+                        "n_channels": CFG.n_channels, "n_rff": CFG.n_rff,
+                        "noise_cond_dim": CFG.noise_cond_dim,
+                        "extra_conv_block": True, "use_weight_norm": True,
+                        "use_antialiasing": True,
+                        "time_embedding": "simple"},
+        "condition_model": {"n_mels": CFG.n_mels,
+                            "n_mel_oversample": CFG.n_mel_oversample,
+                            "encoder_gru_residual": True,
+                            "use_antialiasing": False},
+        "diffusion": {"schedule": "geometric", "sigma_min": 0.0005,
+                      "sigma_max": 5.0, "n_steps": 4, "epsilon": 1.3},
+        "losses": {"use_signal_decoupling": False,
+                   "weights": {"mel_l1": 45.0, "score": 1.0}},
+        "training": {"ema_decay": 0.999},
+    }}
+    with open(tmp_path / "config.yaml", "w") as f:
+        yaml.safe_dump(ref_cfg, f)  # discovered next to the ckpt
+
+    out = tmp_path / "converted"
+    convert(ckpt_path, out)
+
+    model, params, cfg = load_model_for_inference(out, use_ema=True)
+    assert cfg["model"]["fs"] == CFG.fs
+    # EMA weights = 1.5x raw weights for every converted parameter
+    _, raw, _ = load_model_for_inference(out, use_ema=False)
+    ratios = jax.tree.leaves(jax.tree.map(
+        lambda e, r: float(jnp.max(jnp.abs(e - 1.5 * r)))
+        if jnp.issubdtype(e.dtype, jnp.floating) and e.size else 0.0,
+        {"score": params["score"]}, {"score": raw["score"]}))
+    assert max(ratios) < 1e-5
+
+    # the converted dir is servable
+    mix = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((1, T)).astype(np.float32) * 0.1)
+    est = model.enhance(params, mix, jax.random.PRNGKey(0))
+    assert np.asarray(est).shape == (1, T)
