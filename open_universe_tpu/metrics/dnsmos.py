@@ -45,17 +45,22 @@ class ComputeDNSMOS:
             p_bak = np.poly1d([-0.13166888, 1.60915514, -0.39604546])
         return p_sig(sig), p_bak(bak), p_ovr(ovr)
 
-    def _mel(self, audio, n_mels=120, frame_size=320):
+    def _mel(self, audio, n_mels=120, frame_size=320, hop=160):
+        """p808 input features: librosa-style mel, power_to_db(ref=max),
+        (x + 40) / 40 (official dnsmos_local.py audio_melspec)."""
         from ..ops.stft import mel_filterbank
-        hop = frame_size // 2 + 1  # 161, matching the reference's librosa call
+        audio = np.pad(audio, frame_size // 2, mode="reflect")  # center=True
         n_frames = 1 + (len(audio) - frame_size) // hop
         idx = (np.arange(frame_size)[None, :]
                + hop * np.arange(n_frames)[:, None])
-        frames = audio[idx]
+        frames = audio[idx] * np.hanning(frame_size + 1)[:-1]
         spec = np.abs(np.fft.rfft(frames, axis=-1))**2
         fb = mel_filterbank(frame_size // 2 + 1, n_mels, SAMPLING_RATE)
         mel = spec @ fb
-        return (np.log10(np.maximum(mel, 1e-10)) + 40.0) / 40.0
+        db = 10.0 * np.log10(np.maximum(mel, 1e-30)
+                             / max(mel.max(), 1e-30))
+        db = np.maximum(db, -80.0)  # power_to_db top_db
+        return ((db + 40.0) / 40.0).astype(np.float32)
 
     def __call__(self, audio, fs: int = SAMPLING_RATE):
         audio = np.asarray(audio, np.float32).reshape(-1)
@@ -68,7 +73,7 @@ class ComputeDNSMOS:
             audio = np.concatenate([audio, audio])
         hop = SAMPLING_RATE
         n_seg = int(len(audio) / SAMPLING_RATE) - int(INPUT_LENGTH) + 1
-        sig, bak, ovr = [], [], []
+        sig, bak, ovr, p808 = [], [], [], []
         for i in range(max(n_seg, 1)):
             seg = audio[i * hop : i * hop + need]
             if len(seg) < need:
@@ -79,5 +84,12 @@ class ComputeDNSMOS:
             sig.append(s)
             bak.append(b)
             ovr.append(o)
-        return {"SIG": float(np.mean(sig)), "BAK": float(np.mean(bak)),
-                "OVRL": float(np.mean(ovr))}
+            if self.sess_p808 is not None:
+                feat = self._mel(seg[:-160])[None]
+                p808.append(float(np.asarray(self.sess_p808.run(
+                    None, {"input_1": feat})[0]).reshape(-1)[0]))
+        out = {"SIG": float(np.mean(sig)), "BAK": float(np.mean(bak)),
+               "OVRL": float(np.mean(ovr))}
+        if p808:
+            out["P808_MOS"] = float(np.mean(p808))
+        return out

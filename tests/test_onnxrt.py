@@ -166,8 +166,16 @@ def test_dnsmos_wrapper_end_to_end(tmp_path):
     g.output[0] = wire.ValueInfoProto(name="raw3", elem_type=wire.DT_FLOAT,
                                       shape=[1, 3])
     wire.save_model(wire.ModelProto(graph=g), tmp_path / "sig_bak_ovr.onnx")
+    # p808 model consumes (1, frames, 120) mel features
+    g8 = _tiny_mos_model("input_1").graph
+    g8.input[0].shape = [1, None, 120]
+    g8.node[0] = wire.NodeProto(input=["input_1"], output=["gap"],
+                                op_type="ReduceMean",
+                                attribute=[wire.attr("axes", [1, 2]),
+                                           wire.attr("keepdims", 1)])
+    wire.save_model(wire.ModelProto(graph=g8), tmp_path / "model_v8.onnx")
     dns = ComputeDNSMOS(tmp_path)
     x = np.sin(2 * np.pi * 300 * np.arange(32000) / 16000).astype(np.float32)
     out = dns(x, 16000)
-    assert set(out) == {"SIG", "BAK", "OVRL"}
+    assert set(out) == {"SIG", "BAK", "OVRL", "P808_MOS"}
     assert all(np.isfinite(v) for v in out.values())
