@@ -67,3 +67,19 @@ def test_dnsmos_gated(tmp_path):
 
     with pytest.raises(RuntimeError):
         ComputeDNSMOS(tmp_path)  # onnxruntime or model files missing
+
+
+def test_bench_scaling_harness(capsys):
+    """Scaling benchmark runs on the virtual mesh and reports efficiency."""
+    import json as _json
+
+    from open_universe_tpu.bin.bench_scaling import main
+
+    main(["--tiny", "--sizes", "1", "2", "--batch-per-device", "1",
+          "--audio-len", "0.2", "--steps", "1"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 2
+    recs = [_json.loads(l) for l in lines]
+    assert recs[0]["devices"] == 1 and recs[1]["devices"] == 2
+    assert recs[0]["efficiency_vs_1dev"] == 1.0
+    assert recs[1]["audio_s_per_s"] > 0
