@@ -168,6 +168,12 @@ def validate(state, trainer, dm, eval_metrics, run, key, step, log):
     import jax
     import jax.numpy as jnp
 
+    from ..metrics.eval import AsyncEvalMetrics
+
+    # host-side metric math (PESQ/STOI/DNSMOS) runs on a background
+    # thread so the accelerator keeps dispatching enhance() batches
+    # (the reference stalls the device on these, universe.py:706-720)
+    async_eval = AsyncEvalMetrics(eval_metrics)
     vals = {}
     n_enh = 0
     n_samples_saved = 0
@@ -191,9 +197,7 @@ def validate(state, trainer, dm, eval_metrics, run, key, step, log):
             else:
                 params = state.ema.params if hasattr(state, "ema") else None
             est = trainer.model.enhance(params, batch[0][..., 0], k2)
-            m = eval_metrics(np.asarray(est), np.asarray(batch[1][..., 0]))
-            for k, v in m.items():
-                vals.setdefault(f"val/{k}", []).append(v)
+            async_eval.submit(est, batch[1][..., 0])
             # save a few audio samples (reference's TB audio dumps,
             # universe.py:663-704)
             if n_samples_saved < num_save:
@@ -213,6 +217,10 @@ def validate(state, trainer, dm, eval_metrics, run, key, step, log):
                         write_wav(sample_dir / f"target_{sid}.wav",
                                   np.asarray(clean)[b, :, 0], fs)
                     n_samples_saved += 1
+    for m in async_eval.drain():
+        for k, v in m.items():
+            vals.setdefault(f"val/{k}", []).append(v)
+    async_eval.close()
     log(step, {k: float(np.mean(v)) for k, v in vals.items()}, prefix="val ")
 
 

@@ -37,6 +37,35 @@ def mdn_nll(tgt, mean, sigma, alpha):
     return nll / (tgt.shape[-1] * tgt.shape[-2])
 
 
+def mdn_sample(rng, alpha, mean, sigma, random=True):
+    """Draw from a diagonal Gaussian mixture, one component per time step.
+
+    Parity target: reference ``MixtureDensityNetworkLoss.sample``
+    (mdn.py:127-157) — per-(batch, time) categorical over components from
+    the ``alpha`` logits, then a Gaussian draw from the picked component
+    (or the argmax component's mean when ``random=False``).
+
+    alpha  (B, K, 1|T)   mixture logits (broadcast over time allowed)
+    mean   (B, K, C, T)
+    sigma  (B, K, C, T)  positive
+    returns (B, C, T)
+    """
+    b, k, c, t = mean.shape
+    logits = jnp.broadcast_to(alpha.reshape(b, k, -1), (b, k, t)) \
+        if alpha.reshape(b, k, -1).shape[-1] == 1 else alpha.reshape(b, k, t)
+    logits = jnp.swapaxes(logits, 1, 2)  # (B, T, K)
+    if random:
+        rng_cat, rng_norm = jax.random.split(rng)
+        comp = jax.random.categorical(rng_cat, logits, axis=-1)  # (B, T)
+        z = jax.random.normal(rng_norm, (b, c, t), mean.dtype)
+    else:
+        comp = jnp.argmax(logits, axis=-1)  # (B, T)
+        z = jnp.zeros((b, c, t), mean.dtype)
+    idx = comp[:, None, None, :]  # (B, 1, 1, T)
+    pick = lambda x: jnp.take_along_axis(x, idx, axis=1)[:, 0]  # (B, C, T)
+    return pick(mean) + z * pick(sigma)
+
+
 class MixtureDensityNetworkLoss(nn.Module):
     """Trainable MDN head + NLL. Input est (B, T, C_est), tgt (B, T, C_tgt)."""
     est_channels: int

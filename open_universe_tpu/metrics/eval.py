@@ -4,8 +4,16 @@ Parity target: reference ``EvalMetrics`` (metrics/eval.py:31-101):
 computes LSD always, plus PESQ/DNSMOS at 16 kHz. In this environment
 PESQ (C ext) and DNSMOS (onnxruntime) are unavailable, so they are
 gracefully gated; STOI/ESTOI/SI-SDR are computed natively instead.
+
+``AsyncEvalMetrics`` moves the host-side metric computation (PESQ, STOI,
+DNSMOS — pure CPU work) off the TPU critical path: the validation loop
+submits (est, ref) pairs and keeps dispatching enhance() steps; results
+are gathered with ``drain()``. The reference computes these inline in
+``validation_step`` (universe.py:706-720), stalling the accelerator.
 """
 import math
+import queue
+import threading
 
 import numpy as np
 
@@ -64,3 +72,51 @@ class EvalMetrics:
                 metrics["pesq"] = float(np.mean(vals))
 
         return metrics
+
+
+class AsyncEvalMetrics:
+    """Background-thread wrapper around a metric callable.
+
+    The worker owns the device->host fetch (np.asarray on a jax array
+    blocks only this thread) and the CPU metric math, so the main loop
+    can keep the accelerator busy. ``max_pending`` bounds host memory by
+    applying backpressure once too many batches are queued.
+    """
+
+    def __init__(self, metric_fn, max_pending: int = 8):
+        self._fn = metric_fn
+        self._q = queue.Queue(maxsize=max_pending)
+        self._results = []
+        self._errors = []
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                est, ref = item
+                self._results.append(self._fn(np.asarray(est),
+                                              np.asarray(ref)))
+            except Exception as e:  # surfaced on drain()
+                self._errors.append(e)
+            finally:
+                self._q.task_done()
+
+    def submit(self, est, ref):
+        self._q.put((est, ref))
+
+    def drain(self):
+        """Wait for all submitted work; return the list of result dicts."""
+        self._q.join()
+        if self._errors:
+            err, self._errors = self._errors[0], []
+            raise err
+        out, self._results = self._results, []
+        return out
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join()

@@ -11,7 +11,7 @@ from open_universe_tpu.losses import (
     feature_loss,
     generator_loss,
 )
-from open_universe_tpu.losses.mdn import mdn_nll
+from open_universe_tpu.losses.mdn import mdn_nll, mdn_sample
 from open_universe_tpu.losses.sisdr import si_sdr
 
 
@@ -48,6 +48,33 @@ def test_mdn_module():
     loss = m.apply(p, est, tgt)
     assert loss.shape == ()
     assert bool(jnp.isfinite(loss))
+
+
+def test_mdn_sample():
+    """Parity target: reference mdn.py:127-157 (mixture sampling).
+
+    - deterministic mode returns the argmax component's mean exactly
+    - random mode concentrates on the dominant component: with one huge
+      logit the draws must track that component's mean/sigma
+    """
+    b, k, c, t = 2, 3, 1, 64
+    rng = jax.random.PRNGKey(0)
+    mean = jnp.stack([jnp.full((b, c, t), v) for v in (-1.0, 0.0, 2.0)], 1)
+    sigma = jnp.full((b, k, c, t), 0.01)
+    # component 2 dominates at every time step
+    alpha = jnp.array([0.0, 0.0, 20.0]).reshape(1, k, 1) * jnp.ones((b, 1, t))
+
+    det = mdn_sample(rng, alpha, mean, sigma, random=False)
+    np.testing.assert_allclose(np.asarray(det), 2.0, atol=1e-6)
+
+    rnd = mdn_sample(rng, alpha, mean, sigma, random=True)
+    assert rnd.shape == (b, c, t)
+    np.testing.assert_allclose(np.asarray(rnd).mean(), 2.0, atol=0.05)
+
+    # broadcast alpha (B, K, 1) over time also works
+    rnd2 = mdn_sample(rng, jnp.array([0.0, 0.0, 20.0]).reshape(1, k, 1)
+                      * jnp.ones((b, k, 1)), mean, sigma)
+    np.testing.assert_allclose(np.asarray(rnd2).mean(), 2.0, atol=0.05)
 
 
 def test_gan_losses():

@@ -95,6 +95,41 @@ def test_eval_metrics():
     assert out["estoi"] > 0.4
 
 
+def test_async_eval_metrics():
+    """Async wrapper returns the same dicts as inline computation and
+    surfaces worker exceptions on drain()."""
+    from open_universe_tpu.metrics.eval import AsyncEvalMetrics
+
+    x = np.stack([_speechlike(seed=i) for i in range(2)])
+    rng = np.random.default_rng(5)
+    noisy = x + 0.05 * rng.standard_normal(x.shape)
+    ev = EvalMetrics(audio_fs=FS)
+
+    aev = AsyncEvalMetrics(ev)
+    aev.submit(noisy, x)
+    aev.submit(noisy, x)
+    results = aev.drain()
+    assert len(results) == 2
+    inline = ev(noisy, x)
+    for r in results:
+        assert set(r) == set(inline)
+        np.testing.assert_allclose(r["si-sdr"], inline["si-sdr"], rtol=1e-6)
+
+    # errors propagate
+    def bad(est, ref):
+        raise ValueError("boom")
+    aev2 = AsyncEvalMetrics(bad)
+    aev2.submit(noisy, x)
+    try:
+        aev2.drain()
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+    aev2.close()
+    aev.close()
+
+
 def test_wer_wildcard_edit_distance():
     from open_universe_tpu.metrics.wer import wer, word_edit_distance
 
