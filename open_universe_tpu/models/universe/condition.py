@@ -215,6 +215,17 @@ class ConditionerNetwork(nn.Module):
 
         x_mel = self.mel_adapter(name="input_mel")(x_wav)
 
+        # spectral-transform mode: x is STFT frames padded to a total_ds
+        # multiple while x_mel comes from the raw waveform, so the latent
+        # lengths can differ by one — zero-pad/crop the mel branch to the
+        # encoder's latent rate (identity mode: always an exact match)
+        latent_len = n_samples // self.total_ds
+        if x_mel.shape[-2] < latent_len:
+            x_mel = jnp.pad(
+                x_mel, ((0, 0), (0, latent_len - x_mel.shape[-2]), (0, 0)))
+        elif x_mel.shape[-2] > latent_len:
+            x_mel = x_mel[:, :latent_len]
+
         x = Conv1d(self.n_channels, self.fb_kernel_size, padding="same",
                    use_weight_norm=self.use_weight_norm, name="input_conv")(x)
         h, lengths = ConditionerEncoder(

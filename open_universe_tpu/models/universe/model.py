@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ...diffusion.edm import EDMConfig, make_edm_score_fn
 from ...diffusion.sampler import make_oracle_score_fn, reverse_sde_sample
 from ...diffusion.schedule import DiffusionConfig
+from ...ops.transforms import CompressedMagSTFT, IdentityTransform
 from ...utils.norm import normalize_batch
 from ...utils.stats import signal_median
 from .blocks import PReLUConv
@@ -35,6 +36,23 @@ class NormalizationConfig:
     norm: object = 2           # 2 | "max" | "2-max"
     level_db: float = -26.0
     ref: str = "both"
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformConfig:
+    """Spectrogram-domain diffusion (reference universe.py:112-115 +
+    layers/dyn_range_comp.py). With ``kind="compressed_mag_stft"`` the
+    diffusion runs on compressed complex STFT frames; set the model's
+    ``input_channels``/``output_channels`` to 2*(n_fft//2+1) and pick
+    ``hop_length == input_channels`` so the conditioner's mel branch
+    (hop = tot_ds * input_channels) aligns with the frame rate."""
+    kind: str = "compressed_mag_stft"   # "identity" | "compressed_mag_stft"
+    n_fft: int = 510
+    hop_length: int = 512
+    window: str = "hann"
+    transform_type: str = "exponent"    # "exponent" | "log" | "none"
+    abs_exponent: float = 0.5
+    factor: float = 0.15
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,6 +80,9 @@ class UniverseConfig:
     use_signal_decoupling: bool = True
     signal_decoupling_act: str = "snake"
     normalization: NormalizationConfig = NormalizationConfig()
+    # spectrogram-domain diffusion; None = waveform domain (the default,
+    # matching the reference's IdentityTransform, universe.py:112-113)
+    transform: Optional[TransformConfig] = None
 
 
 class UniverseModel:
@@ -100,17 +121,41 @@ class UniverseModel:
         )
         if config.use_signal_decoupling:
             self.decoupling_net = PReLUConv(
-                1, kernel_size=3, padding="same",
+                config.output_channels, kernel_size=3, padding="same",
                 act_type=config.signal_decoupling_act)
         else:
             self.decoupling_net = None
 
+        tc = config.transform
+        if tc is None or tc.kind == "identity":
+            self.transform = IdentityTransform()
+            self.has_transform = False
+        elif tc.kind == "compressed_mag_stft":
+            self.transform = CompressedMagSTFT(
+                tc.n_fft, tc.hop_length, tc.window, tc.transform_type,
+                tc.abs_exponent, tc.factor)
+            self.has_transform = True
+            want = 2 * (tc.n_fft // 2 + 1)
+            if config.input_channels != want:
+                raise ValueError(
+                    f"transform n_fft={tc.n_fft} produces {want} channels "
+                    f"but input_channels={config.input_channels}")
+        else:
+            raise ValueError(f"unknown transform kind {tc.kind}")
+
     # ---------------------------------------------------------------- init
     def init(self, key, example_len: int = 1600, batch: int = 1):
         ks, kc, kd = jax.random.split(key, 3)
-        x = jnp.zeros((batch, example_len, self.cfg.input_channels))
-        cond_params = self.cond_net.init(kc, x)
-        conditions, y_est, _ = self.cond_net.apply(cond_params, x)
+        if self.has_transform:
+            wav = jnp.zeros((batch, example_len, 1))
+            x, _ = self.apply_transform(wav)
+            cond_params = self.cond_net.init(kc, x, x_wav=wav)
+            conditions, y_est, _ = self.cond_net.apply(cond_params, x,
+                                                       x_wav=wav)
+        else:
+            x = jnp.zeros((batch, example_len, self.cfg.input_channels))
+            cond_params = self.cond_net.init(kc, x)
+            conditions, y_est, _ = self.cond_net.apply(cond_params, x)
         sigma = jnp.full((batch,), 1.0)
         score_params = self.score_net.init(ks, x, sigma, conditions)
         params = {"score": score_params["params"],
@@ -119,6 +164,41 @@ class UniverseModel:
             dp = self.decoupling_net.init(kd, y_est)
             params["decoupling"] = dp["params"]
         return params
+
+    # ----------------------------------------------------- domain transform
+    def apply_transform(self, x, pad_frames: bool = True):
+        """Normalized waveform (B, T, 1) -> diffusion domain.
+
+        Identity: returns (x, T). Spectral: compressed-STFT frames padded
+        to a ``tot_ds`` multiple so the U-Nets' strided pyramid divides
+        evenly; returns (frames (B, NF', 2F), NF) with NF the unpadded
+        frame count (reference transforms at universe.py:274 but relies on
+        the waveform pad for divisibility — frame-domain padding is the
+        TPU-correct equivalent for static shapes).
+        """
+        if not self.has_transform:
+            return x, x.shape[-2]
+        x_t = self.transform(x)
+        nf = x_t.shape[-2]
+        if pad_frames:
+            fpad = -nf % self.tot_ds
+            x_t = jnp.pad(x_t, ((0, 0), (0, fpad), (0, 0)))
+        return x_t, nf
+
+    def inverse_transform(self, x_t, n_frames: int, length: int):
+        """Diffusion domain -> waveform (reference universe.py:346)."""
+        if not self.has_transform:
+            return x_t
+        return self.transform.inv(x_t[:, :n_frames], length=length)
+
+    def diffusion_len(self, t: int) -> int:
+        """Time length of the diffusion state for a length-``t`` waveform
+        (samples in the waveform domain; tot_ds-padded STFT frames in the
+        spectral domain)."""
+        if not self.has_transform:
+            return t
+        nf = self.transform.n_frames(t)
+        return nf + (-nf % self.tot_ds)
 
     # ------------------------------------------------------------- applies
     def apply_cond(self, params, x, x_wav=None, train: bool = True):
@@ -202,7 +282,16 @@ class UniverseModel:
 
         (mix, target), *_ = self.normalize_batch((mix, target))
 
-        cond, aux_signal, _ = self.apply_cond(params, mix, train=True)
+        # spectrogram-domain diffusion (reference universe.py:274-276; the
+        # reference discards the transformed target — a latent bug in its
+        # unused oracle+transform combination — we transform it for real)
+        mix_wav = mix
+        mix, n_frames = self.apply_transform(mix)
+        if target is not None:
+            target, _ = self.apply_transform(target)
+
+        cond, aux_signal, _ = self.apply_cond(params, mix, x_wav=mix_wav,
+                                              train=True)
 
         if use_aux_signal:
             x = self.aux_to_wav(params, aux_signal)
@@ -220,6 +309,9 @@ class UniverseModel:
                 score_fn, cond, mix.shape, key, self.cfg.diffusion,
                 n_steps=n_steps, epsilon=epsilon, warm_start=warm_start,
                 aux_signal=aux, oracle_uses_key=oracle)
+
+        # back to the waveform domain (reference universe.py:346)
+        x = self.inverse_transform(x, n_frames, mix_wav.shape[-2])
 
         x = self.unpad(x, pad)
         t = x.shape[-2]

@@ -79,6 +79,10 @@ class CompressedMagSTFT:
             return spec
         raise NotImplementedError(t)
 
+    def n_frames(self, t: int) -> int:
+        """STFT frame count for a length-``t`` waveform (center=True)."""
+        return 1 + (t + 2 * (self.n_fft // 2) - self.n_fft) // self.hop
+
     def __call__(self, x, inv: bool = False, length: Optional[int] = None):
         if inv:
             return self.inv(x, length=length)

@@ -8,6 +8,7 @@ from typing import Optional
 from .diffusion import DiffusionConfig, EDMConfig
 from .models.universe.model import (
     NormalizationConfig,
+    TransformConfig,
     UniverseConfig,
     UniverseModel,
 )
@@ -22,8 +23,10 @@ def build_model(model_cfg: dict) -> UniverseModel:
     norm = NormalizationConfig(**m.pop("normalization", {}))
     m.pop("seq_model", None)
     text_cfg = m.pop("text", None)
+    trans_cfg = m.pop("transform", None)
+    transform = TransformConfig(**trans_cfg) if trans_cfg else None
     cfg = UniverseConfig(
-        diffusion=diff, edm=edm, normalization=norm,
+        diffusion=diff, edm=edm, normalization=norm, transform=transform,
         **{k: (tuple(v) if isinstance(v, list) else v) for k, v in m.items()})
     if text_cfg:
         from .models.universe.model_text import TextConfig, TextUniverseModel

@@ -158,6 +158,14 @@ class GanTrainer:
         (mix, target, target_original), *_ = model.normalize_batch(
             (mix, target, target_original))
 
+        # spectrogram-domain diffusion (reference universe_gan.py:180-181,
+        # 201); identity transform is a no-op. Unlike the reference (which
+        # feeds the transformed mix to the mel branch here but the waveform
+        # at enhance time) the conditioner always gets the waveform mel.
+        mix_wav = mix
+        mix, n_frames = model.apply_transform(mix)
+        target, _ = model.apply_transform(target)
+
         sigma, _ = sample_sigma(k_sigma, mix.shape[0], model.cfg.diffusion,
                                 cfg.time_sampling)
         z = jax.random.normal(k_z, target.shape, target.dtype)
@@ -165,9 +173,13 @@ class GanTrainer:
 
         # one generator forward, saved for the later pullback
         def gen_forward(gen_params):
-            cond, y_raw, _ = model.apply_cond(gen_params, mix)
+            cond, y_raw, _ = model.apply_cond(gen_params, mix, x_wav=mix_wav)
             score = model.score_fn(gen_params)(x_t, sigma, cond)
             y_est = model.aux_to_wav(gen_params, y_raw)
+            # decouple in the diffusion domain, judge in the waveform
+            # domain (reference universe_gan.py:199-201)
+            y_est = model.inverse_transform(y_est, n_frames,
+                                            mix_wav.shape[-2])
             return score, y_est
 
         (score, y_est), gen_vjp = jax.vjp(gen_forward, state.gen_params)
@@ -285,6 +297,9 @@ class GanTrainer:
         (mix, target), *_ = model.normalize_batch((mix, target))
         mix, _ = model.pad(mix)
         target, _ = model.pad(target)
+        mix_wav = mix
+        mix, _ = model.apply_transform(mix)
+        target, _ = model.apply_transform(target)
         tb = jnp.linspace(0.0, 1.0, n_bins + 1)
         losses = []
         for i in range(n_bins):
@@ -294,7 +309,7 @@ class GanTrainer:
                                     t_max=float(i + 1) / n_bins)
             z = jax.random.normal(kz, target.shape, target.dtype)
             x_t = target + sigma[:, None, None] * z
-            cond, _, _ = model.apply_cond(params, mix)
+            cond, _, _ = model.apply_cond(params, mix, x_wav=mix_wav)
             score = model.score_fn(params)(x_t, sigma, cond)
             losses.append(jnp.mean((sigma[:, None, None] * score + z) ** 2))
         return jnp.stack(losses), tb

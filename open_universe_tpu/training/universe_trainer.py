@@ -61,18 +61,27 @@ class MdnTrainer:
         self.cfg = cfg
         fs = model.cfg.fs
         num_targets = 2 if cfg.with_noise_target else 1
+        # diffusion-domain time length (samples, or STFT frames when a
+        # spectral transform is configured)
+        diff_len = model.diffusion_len(int(fs * cfg.audio_len_s))
         self.loss_signal = MixtureDensityNetworkLoss(
             est_channels=model.cfg.n_channels,
             tgt_channels=model.cfg.input_channels * num_targets,
             n_comp=cfg.mdn_n_comp,
-            sample_len=int(fs * cfg.audio_len_s),
+            sample_len=diff_len,
             alpha_per_sample=cfg.mdn_alpha_per_sample,
         )
+        # latent length = diffusion frames / tot_ds; waveform-mel length =
+        # samples / (tot_ds * input_channels); they can differ by one frame
+        # in the spectral-transform case, so the loss runs on the min
+        mel_len = int(fs * cfg.audio_len_s) // (
+            model.tot_ds * model.cfg.input_channels)
+        self._latent_len = min(diff_len // model.tot_ds, mel_len)
         self.loss_latent = MixtureDensityNetworkLoss(
             est_channels=model.latent_n_channels,
             tgt_channels=model.cfg.n_mels * num_targets,
             n_comp=cfg.mdn_n_comp,
-            sample_len=int(fs // model.tot_ds * cfg.audio_len_s),
+            sample_len=self._latent_len,
             alpha_per_sample=cfg.mdn_alpha_per_sample,
         )
 
@@ -90,15 +99,17 @@ class MdnTrainer:
         t = int(fs * self.cfg.audio_len_s)
         kg, ks, kl = jax.random.split(key, 3)
         gen = self.model.init(kg, example_len=t, batch=batch)
-        x = jnp.zeros((batch, t, 1))
-        cond, y_est, h = self.model.apply_cond(gen, x)
+        x_wav = jnp.zeros((batch, t, 1))
+        x, _ = self.model.apply_transform(x_wav)
+        cond, y_est, h = self.model.apply_cond(gen, x, x_wav=x_wav)
+        tl = self._latent_len
         params = {
             "score": gen["score"],
             "cond": gen["cond"],
             "loss_signal": self.loss_signal.init(ks, y_est, x)["params"],
             "loss_latent": self.loss_latent.init(
-                kl, h, jnp.zeros((batch, h.shape[1],
-                                  self.model.cfg.n_mels)))["params"],
+                kl, h[:, :tl], jnp.zeros((batch, tl,
+                                          self.model.cfg.n_mels)))["params"],
         }
         ema_tree = {"score": params["score"], "cond": params["cond"]}
         return MdnTrainState(params=params, opt=self.tx.init(params),
@@ -113,33 +124,51 @@ class MdnTrainer:
         model = self.model
         ts = time_sampling or cfg.time_sampling
         ks, kz = jax.random.split(key)
+
+        # spectrogram-domain diffusion (reference universe.py:482-488):
+        # diffuse and score in the transformed domain, signal MDN loss on
+        # the transformed target, latent MDN loss on the waveform mel
+        mix_wav, target_wav = mix, target
+        mix, _ = model.apply_transform(mix)
+        target, _ = model.apply_transform(target)
+
         sigma, _ = sample_sigma(ks, mix.shape[0], model.cfg.diffusion, ts,
                                 t_min=t_min, t_max=t_max)
         z = jax.random.normal(kz, target.shape, target.dtype)
         x_t = target + sigma[:, None, None] * z
 
         gen = {"score": params["score"], "cond": params["cond"]}
-        cond, y_est, h_est = model.apply_cond(gen, mix)
+        cond, y_est, h_est = model.apply_cond(gen, mix, x_wav=mix_wav)
         score = model.score_fn(gen)(x_t, sigma, cond)
         l_score = jnp.mean((sigma[:, None, None] * score + z) ** 2)
         if not train:
             return l_score
 
         if cfg.with_noise_target:
-            noise = mix - target
-            target_aux = jnp.concatenate([target, noise], axis=-1)
+            # noise is defined in the waveform domain and transformed
+            # (reference universe.py:486-488: cat(tgt_trans, transform(noise)))
+            noise_wav = mix_wav - target_wav
+            noise_t, _ = model.apply_transform(noise_wav)
+            target_aux = jnp.concatenate([target, noise_t], axis=-1)
+            target_aux_wav = jnp.concatenate([target_wav, noise_wav], axis=-1)
         else:
             target_aux = target
+            target_aux_wav = target_wav
 
         l_signal = self.loss_signal.apply(
             {"params": params["loss_signal"]}, y_est, target_aux)
 
-        mel_target = model.compute_mel_spec(target_aux)
+        mel_target = model.compute_mel_spec(target_aux_wav)
         mel_norm = jnp.sqrt(jnp.sum(mel_target**2, axis=(-2, -1),
                                     keepdims=True))
         mel_target = mel_target / jnp.maximum(mel_norm, 1e-5)
+        # spectral transform: latent frames (tot_ds-padded STFT) and the
+        # waveform-mel frame count can differ by the center=True frame —
+        # crop both to the common length
+        t_common = self._latent_len
         l_latent = self.loss_latent.apply(
-            {"params": params["loss_latent"]}, h_est, mel_target)
+            {"params": params["loss_latent"]},
+            h_est[:, :t_common], mel_target[:, :t_common])
 
         loss = (cfg.weight_score * l_score
                 + cfg.weight_signal * l_signal
