@@ -19,9 +19,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.activations import SnakeAlias
-from ...ops.antialias import low_pass_filter
+from ...ops.antialias import binomial_filter
 from ...ops.conv import Conv1d, ConvTranspose1d, PReLU
 from ...ops.film import film
+from ...ops.pallas_conv_block import (
+    fused_conv_stack,
+    pallas_conv_block_interpret,
+    use_pallas_conv_block,
+)
 
 INV_SQRT2 = 1.0 / math.sqrt(2.0)
 
@@ -38,7 +43,7 @@ class PReLUConv(nn.Module):
     use_antialiasing: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, with_params: bool = False):
         in_ch = x.shape[-1]
         # pad the time axis up to a stride multiple (reference blocks.py:209-213)
         if not self.use_transpose and self.stride > 1:
@@ -46,35 +51,43 @@ class PReLUConv(nn.Module):
             if r != 0:
                 x = jnp.pad(x, ((0, 0), (0, self.stride - r), (0, 0)))
 
+        alpha = None
         if self.act_type == "prelu":
-            x = PReLU(name="act")(x)
+            x, alpha = PReLU(name="act")(x, with_params=True)
         elif self.act_type in ("snake", "snakebeta"):
             x = SnakeAlias(features=in_ch, with_beta=self.act_type == "snakebeta",
                            name="act")(x)
         elif self.act_type != "none":
             raise ValueError(f"unknown act_type {self.act_type}")
 
+        # Anti-aliased strided convs run as ONE conv: the binomial FIR is
+        # folded into the conv kernel (ops/conv.py:fold_fir_into_kernel) —
+        # exact, and removes a full HBM round-trip at the block's highest
+        # resolution (these convs are memory-bound on TPU).
         aa_kernel = 2 * self.kernel_size + 1
-        if self.use_antialiasing and not self.use_transpose:
-            x = low_pass_filter(x, aa_kernel)
+        fir = (tuple(binomial_filter(aa_kernel).tolist())
+               if self.use_antialiasing else None)
 
         conv_bias = not self.use_antialiasing
+        kernel = bias = None
         if self.use_transpose:
             x = ConvTranspose1d(self.features, self.kernel_size,
                                 stride=self.stride, use_bias=conv_bias,
                                 use_weight_norm=self.use_weight_norm,
-                                name="conv")(x)
+                                fir_taps=fir, name="conv")(x)
         else:
-            x = Conv1d(self.features, self.kernel_size, stride=self.stride,
-                       padding=self.padding, use_bias=conv_bias,
-                       use_weight_norm=self.use_weight_norm, name="conv")(x)
-
-        if self.use_antialiasing and self.use_transpose:
-            x = low_pass_filter(x, aa_kernel)
+            x, (kernel, bias) = Conv1d(
+                self.features, self.kernel_size, stride=self.stride,
+                padding=self.padding, use_bias=conv_bias,
+                use_weight_norm=self.use_weight_norm,
+                fir_taps=fir, name="conv")(x, with_params=True)
 
         if self.use_antialiasing:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            x = x + bias
+            aa_bias = self.param("bias", nn.initializers.zeros,
+                                 (self.features,))
+            x = x + aa_bias
+        if with_params:
+            return x, (kernel, bias, alpha)
         return x
 
 
@@ -128,29 +141,55 @@ class ConvBlock(nn.Module):
         if res is not None:
             if self.rate_change_dir == "down":
                 raise ValueError("residual input not allowed for down blocks")
-            h = (h + res) * INV_SQRT2
 
-        cond_out = PReLUConv(c, kernel_size=5, padding="same",
-                             act_type=self.act_type,
-                             use_weight_norm=self.use_weight_norm,
-                             name="conv1")(h)
-        if input_cond is not None:
-            if self.signal_cond_type == "linear":
-                x = LinearProj(c, use_weight_norm=self.use_weight_norm,
-                               name="signal_cond_proj")(cond_out, input_cond)
-            else:
-                x = (cond_out + input_cond) * INV_SQRT2
+        conv1 = PReLUConv(c, kernel_size=5, padding="same",
+                          act_type=self.act_type,
+                          use_weight_norm=self.use_weight_norm, name="conv1")
+        conv2 = PReLUConv(c, kernel_size=3, padding="same",
+                          act_type=self.act_type,
+                          use_weight_norm=self.use_weight_norm, name="conv2")
+        conv3 = PReLUConv(c, kernel_size=3, padding="same",
+                          act_type=self.act_type,
+                          use_weight_norm=self.use_weight_norm, name="conv3")
+
+        # Fused Pallas path (serving): the whole act/conv/FiLM/residual
+        # stack in ONE HBM pass (ops/pallas_conv_block.py). Params are
+        # materialized through the standard submodules on a dummy slice
+        # (dead code after XLA DCE), so the param tree is identical to the
+        # unfused path and checkpoints are interchangeable.
+        fuse = (use_pallas_conv_block()
+                and self.act_type == "prelu"
+                and (input_cond is None or self.signal_cond_type != "linear")
+                and (noise_cond is None or noise_cond.ndim == 2))
+        if fuse:
+            dummy = jnp.zeros((1, 8, c), h.dtype)
+            _, (w1, b1, a1) = conv1(dummy, with_params=True)
+            _, (w2, b2, a2) = conv2(dummy, with_params=True)
+            _, (w3, b3, a3) = conv3(dummy, with_params=True)
+            v_out, cond_out = fused_conv_stack(
+                h, w1, b1, w2, b2, w3, b3, jnp.stack([a1, a2, a3]),
+                film_gb=noise_cond, input_cond=input_cond, res=res,
+                interpret=pallas_conv_block_interpret())
         else:
-            x = cond_out
+            if res is not None:
+                h = (h + res) * INV_SQRT2
+            cond_out = conv1(h)
+            if input_cond is not None:
+                if self.signal_cond_type == "linear":
+                    x = LinearProj(c, use_weight_norm=self.use_weight_norm,
+                                   name="signal_cond_proj")(cond_out,
+                                                            input_cond)
+                else:
+                    x = (cond_out + input_cond) * INV_SQRT2
+            else:
+                x = cond_out
 
-        if noise_cond is not None:
-            x = film(x, noise_cond)
-        x = PReLUConv(c, kernel_size=3, padding="same", act_type=self.act_type,
-                      use_weight_norm=self.use_weight_norm, name="conv2")(x)
-        x = PReLUConv(c, kernel_size=3, padding="same", act_type=self.act_type,
-                      use_weight_norm=self.use_weight_norm, name="conv3")(x)
+            if noise_cond is not None:
+                x = film(x, noise_cond)
+            x = conv2(x)
+            x = conv3(x)
 
-        v_out = (h + x) * INV_SQRT2
+            v_out = (h + x) * INV_SQRT2
 
         if self.rate_change_dir == "down":
             r = self.rate_change

@@ -99,7 +99,7 @@ class PReLU(nn.Module):
     init: float = 0.25
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, with_params: bool = False):
         alpha = self.param(
             "alpha", lambda k: jnp.full((self.num_parameters,), self.init, jnp.float32)
         )
@@ -107,13 +107,35 @@ class PReLU(nn.Module):
             a = alpha[0]
         else:
             a = alpha  # broadcast over trailing channel dim
-        return prelu(x, a)
+        y = prelu(x, a)
+        if with_params:
+            return y, a
+        return y
 
 
 def _torch_conv_init(key, shape, fan_in):
     """torch Conv default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
     bound = 1.0 / math.sqrt(fan_in)
     return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def fold_fir_into_kernel(kernel, taps):
+    """Fold a symmetric depthwise FIR into a conv kernel (exact fusion).
+
+    ``lowpass(K taps, same-pad)`` then ``conv(kernel k)`` — or the
+    transposed conv then lowpass — equals ONE conv whose taps are the full
+    1-D convolution of the kernel taps with the FIR taps along the tap
+    axis (length k + K - 1). On TPU this removes a whole HBM round-trip
+    per rate change: the reference's anti-aliased strided convs
+    (blocks.py:137-231) are two conv passes; fused they are one,
+    and since these convs are memory-bound the extra taps are free.
+    """
+    k = kernel.shape[0]
+    n = k + taps.shape[0] - 1
+    out = jnp.zeros((n,) + kernel.shape[1:], kernel.dtype)
+    for i in range(k):
+        out = out.at[i : i + taps.shape[0]].add(kernel[i] * taps[:, None, None])
+    return out
 
 
 class Conv1d(nn.Module):
@@ -124,6 +146,9 @@ class Conv1d(nn.Module):
     w = g * v / ||v||_{W,I} and v initialized N(0, 0.01) to mirror the
     reference's ``cond_weight_norm`` + ``init_weights``
     (blocks.py:34-46).
+    ``fir_taps``: symmetric anti-alias FIR (length 2*kernel_size+1,
+    same-padded) applied BEFORE the conv, folded into the conv kernel
+    (see fold_fir_into_kernel). Requires padding == "valid".
     """
     features: int
     kernel_size: int
@@ -133,9 +158,10 @@ class Conv1d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     use_weight_norm: bool = False
+    fir_taps: Optional[tuple] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, with_params: bool = False):
         in_ch = x.shape[-1]
         w_shape = (self.kernel_size, in_ch // self.groups, self.features)
         fan_in = (in_ch // self.groups) * self.kernel_size
@@ -150,8 +176,16 @@ class Conv1d(nn.Module):
         else:
             kernel = self.param("kernel",
                                 lambda k: _torch_conv_init(k, w_shape, fan_in))
+        raw_kernel = kernel  # pre-FIR, post-weight-norm (for fused kernels)
 
-        if self.padding == "same":
+        if self.fir_taps is not None:
+            assert self.padding == "valid" and self.dilation == 1 \
+                and self.groups == 1, "fir_taps requires plain valid conv"
+            taps = jnp.asarray(self.fir_taps, kernel.dtype)
+            half = (taps.shape[0] - 1) // 2
+            kernel = fold_fir_into_kernel(kernel, taps)
+            pad = (half, taps.shape[0] - 1 - half)
+        elif self.padding == "same":
             pad = _same_pads(self.kernel_size, self.dilation)
         elif self.padding == "valid":
             pad = (0, 0)
@@ -160,20 +194,29 @@ class Conv1d(nn.Module):
         cd = get_compute_dtype()
         y = conv1d(x.astype(cd), kernel.astype(cd), stride=self.stride,
                    padding=pad, dilation=self.dilation, groups=self.groups)
+        b = None
         if self.use_bias:
             b = self.param("bias",
                            lambda k: _torch_conv_init(k, (self.features,), fan_in))
             y = y + b.astype(cd)
+        if with_params:
+            return y, (raw_kernel, b)
         return y
 
 
 class ConvTranspose1d(nn.Module):
-    """Channels-last transposed conv (torch semantics, padding=0)."""
+    """Channels-last transposed conv (torch semantics, padding=0).
+
+    ``fir_taps``: symmetric anti-alias FIR (same-padded) applied AFTER the
+    transposed conv, folded into the kernel (one HBM pass instead of two;
+    exact because the FIR is symmetric — see fold_fir_into_kernel).
+    """
     features: int
     kernel_size: int
     stride: int = 1
     use_bias: bool = True
     use_weight_norm: bool = False
+    fir_taps: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x):
@@ -198,8 +241,17 @@ class ConvTranspose1d(nn.Module):
             kernel = self.param("kernel",
                                 lambda k: _torch_conv_init(k, w_shape, fan_in))
         cd = get_compute_dtype()
-        y = conv_transpose1d(x.astype(cd), kernel.astype(cd),
-                             stride=self.stride)
+        if self.fir_taps is not None:
+            taps = jnp.asarray(self.fir_taps, kernel.dtype)
+            half = (taps.shape[0] - 1) // 2
+            kernel = fold_fir_into_kernel(kernel, taps)
+            y = conv_transpose1d(x.astype(cd), kernel.astype(cd),
+                                 stride=self.stride)
+            hi = taps.shape[0] - 1 - half
+            y = y[:, half : y.shape[1] - hi, :]
+        else:
+            y = conv_transpose1d(x.astype(cd), kernel.astype(cd),
+                                 stride=self.stride)
         if self.use_bias:
             b = self.param("bias",
                            lambda k: _torch_conv_init(k, (self.features,), fan_in))

@@ -106,3 +106,47 @@ def test_wn_conv_module_runs():
     pt = mt.init(jax.random.PRNGKey(1), x)
     yt = mt.apply(pt, x)
     assert yt.shape == (2, 80, 4)
+
+
+def test_fir_fold_matches_lowpass_then_conv():
+    """fir_taps fusion == explicit same-pad FIR -> valid strided conv."""
+    from open_universe_tpu.ops.antialias import binomial_filter, low_pass_filter
+
+    rng = np.random.default_rng(0)
+    for k, stride, t, c_in, c_out in [(2, 2, 40, 3, 5), (4, 4, 48, 4, 2),
+                                      (5, 5, 50, 2, 6)]:
+        x = jnp.asarray(rng.normal(size=(2, t, c_in)), jnp.float32)
+        taps = binomial_filter(2 * k + 1)
+        m = ops_conv.Conv1d(features=c_out, kernel_size=k, stride=stride,
+                            use_bias=False, fir_taps=tuple(taps.tolist()))
+        params = m.init(jax.random.PRNGKey(k), x)
+        y_fused = m.apply(params, x)
+
+        kern = params["params"]["kernel"]
+        y_ref = ops_conv.conv1d(low_pass_filter(x, 2 * k + 1), kern,
+                                stride=stride, padding=(0, 0))
+        assert y_fused.shape == y_ref.shape
+        np.testing.assert_allclose(_np(y_fused), _np(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_fir_fold_matches_convtranspose_then_lowpass():
+    from open_universe_tpu.ops.antialias import binomial_filter, low_pass_filter
+
+    rng = np.random.default_rng(1)
+    for k, stride, t, c_in, c_out in [(2, 2, 40, 3, 5), (4, 4, 24, 4, 2),
+                                      (5, 5, 20, 2, 6)]:
+        x = jnp.asarray(rng.normal(size=(2, t, c_in)), jnp.float32)
+        taps = binomial_filter(2 * k + 1)
+        m = ops_conv.ConvTranspose1d(features=c_out, kernel_size=k,
+                                     stride=stride, use_bias=False,
+                                     fir_taps=tuple(taps.tolist()))
+        params = m.init(jax.random.PRNGKey(k), x)
+        y_fused = m.apply(params, x)
+
+        kern = params["params"]["kernel"]
+        y_ref = low_pass_filter(
+            ops_conv.conv_transpose1d(x, kern, stride=stride), 2 * k + 1)
+        assert y_fused.shape == y_ref.shape
+        np.testing.assert_allclose(_np(y_fused), _np(y_ref),
+                                   rtol=1e-5, atol=1e-5)
