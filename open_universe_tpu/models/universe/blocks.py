@@ -24,6 +24,7 @@ from ...ops.conv import Conv1d, ConvTranspose1d, PReLU
 from ...ops.film import film
 from ...ops.pallas_conv_block import (
     fused_conv_stack,
+    fusion_profitable,
     pallas_conv_block_interpret,
     use_pallas_conv_block,
 )
@@ -160,7 +161,8 @@ class ConvBlock(nn.Module):
         fuse = (use_pallas_conv_block()
                 and self.act_type == "prelu"
                 and (input_cond is None or self.signal_cond_type != "linear")
-                and (noise_cond is None or noise_cond.ndim == 2))
+                and (noise_cond is None or noise_cond.ndim == 2)
+                and fusion_profitable(h.shape[-2], c))
         if fuse:
             dummy = jnp.zeros((1, 8, c), h.dtype)
             _, (w1, b1, a1) = conv1(dummy, with_params=True)

@@ -7,8 +7,8 @@ import pytest
 from open_universe_tpu.ops.conv import conv1d, _same_pads, prelu
 from open_universe_tpu.ops.film import film
 from open_universe_tpu.ops.pallas_conv_block import (
-    choose_tile,
     fused_conv_stack,
+    pack_stack_kernel,
 )
 
 INV_SQRT2 = 1.0 / np.sqrt(2.0)
@@ -52,7 +52,7 @@ def test_fused_conv_stack_matches_ops(use_film, use_ic_res):
                                     film_gb=gb, input_cond=ic, res=res)
     v, co = fused_conv_stack(h, w1, b1, w2, b2, w3, b3, alphas,
                              film_gb=gb, input_cond=ic, res=res,
-                             tile=32, interpret=True)
+                             tile=4, interpret=True)
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(co), np.asarray(c_ref),
@@ -72,18 +72,32 @@ def test_fused_conv_stack_padding_tile():
 
     v_ref, c_ref = _reference_stack(h, w1, b1, w2, b2, w3, b3, alphas)
     v, co = fused_conv_stack(h, w1, b1, w2, b2, w3, b3, alphas,
-                             tile=32, interpret=True)
+                             tile=32, interpret=True)  # p=1 fallback path
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(co), np.asarray(c_ref),
                                rtol=2e-5, atol=2e-5)
 
 
-def test_choose_tile():
-    assert choose_tile(64160) == 6416
-    assert 64160 % choose_tile(64160) == 0
-    assert choose_tile(32080) == 6416
-    assert choose_tile(12800) <= 8192 and 12800 % choose_tile(12800) == 0
+def test_pack_stack_kernel_matches_conv():
+    """Frame-packed kernel == plain conv for several (k, p)."""
+    import jax.numpy as jnp
+    from open_universe_tpu.ops.conv import conv1d, _same_pads
+
+    rng = np.random.default_rng(3)
+    for k, p, t, c in [(5, 4, 40, 3), (3, 4, 40, 3), (5, 2, 24, 5),
+                       (3, 2, 24, 5), (5, 1, 20, 4)]:
+        x = jnp.asarray(rng.normal(size=(2, t, c)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(k, c, c)), jnp.float32)
+        y_ref = conv1d(x, w, padding=_same_pads(k))
+        wp = pack_stack_kernel(w, p)
+        xf = x.reshape(2, t // p, p * c)
+        d2 = (wp.shape[0] - 1) // 2
+        xf_pad = jnp.pad(xf, ((0, 0), (d2, d2), (0, 0)))
+        acc = sum(jnp.einsum("bfi,io->bfo", xf_pad[:, i : i + t // p], wp[i])
+                  for i in range(wp.shape[0]))
+        np.testing.assert_allclose(np.asarray(acc.reshape(2, t, c)),
+                                   np.asarray(y_ref), rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("mode", ["enc", "dec"])
