@@ -1,0 +1,167 @@
+"""Break down GAN train-step time on the real chip, f32 vs bf16 compute."""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from open_universe_tpu.runtime import build_model, build_trainer
+from open_universe_tpu.losses.gan import discriminator_loss
+from open_universe_tpu.ops.conv import set_compute_dtype
+
+
+def timed(fn, *args, n_outer=2):
+    float(fn(*args))
+    best = float("inf")
+    for _ in range(n_outer):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    if "--bf16" in sys.argv:
+        set_compute_dtype("bfloat16")
+        print("compute dtype: bfloat16", flush=True)
+    batch = 16
+    for a in sys.argv[1:]:
+        if a.startswith("--batch="):
+            batch = int(a.split("=")[1])
+    print(f"batch={batch}", flush=True)
+    t = 64000
+    n_inner = 2
+
+    model = build_model({"fs": 16000})
+    trainer = build_trainer(model, {"kind": "gan"})
+    # init on host CPU: eager init over the device tunnel pays ~25 ms per
+    # dispatched op and takes minutes
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        state = trainer.init(jax.random.PRNGKey(0), example_len=1600,
+                             batch=1)
+    state = jax.device_put(state)
+    if "--pallas-gru" in sys.argv:
+        from open_universe_tpu.ops.gru import set_use_pallas_gru
+        set_use_pallas_gru(True)
+        print("pallas gru: on", flush=True)
+
+    key = jax.random.PRNGKey(1)
+    mix = jax.random.normal(key, (batch, t, 1)) * 0.05
+    tgt = mix * 0.9
+
+    def leaf_sum(x):
+        return sum(v.astype(jnp.float32).sum()
+                   for v in jax.tree.leaves(x))
+
+    @jax.jit
+    def gen_fwd(state, mix, tgt, key):
+        def body(c, i):
+            sigma = jnp.full((batch,), 0.1)
+            x_t = tgt + sigma[:, None, None] * 0.1
+            def f(p):
+                cond, y_raw, _ = model.apply_cond(p, mix * (1 + 1e-6 * c),
+                                                  x_wav=mix)
+                score = model.score_fn(p)(x_t, sigma, cond)
+                y = model.aux_to_wav(p, y_raw)
+                return score, y
+            s, y = f(state.gen_params)
+            return c + s.astype(jnp.float32).sum() + y.astype(
+                jnp.float32).sum(), None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n_inner))
+        return acc
+
+    @jax.jit
+    def gen_fwd_bwd(state, mix, tgt, key):
+        def body(c, i):
+            sigma = jnp.full((batch,), 0.1)
+            x_t = tgt + sigma[:, None, None] * 0.1
+            def loss(p):
+                cond, y_raw, _ = model.apply_cond(p, mix * (1 + 1e-6 * c),
+                                                  x_wav=mix)
+                score = model.score_fn(p)(x_t, sigma, cond)
+                y = model.aux_to_wav(p, y_raw)
+                return jnp.mean(score**2) + jnp.mean(y**2)
+            g = jax.grad(loss)(state.gen_params)
+            return c + leaf_sum(g), None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n_inner))
+        return acc
+
+    @jax.jit
+    def disc_fwd(state, mix, tgt, key):
+        def body(c, i):
+            fake = mix * (1 + 1e-6 * c)
+            rf, gf, _, _ = trainer.mpd.apply(
+                {"params": state.disc_params["mpd"]}, tgt, fake)
+            lf, _, _ = discriminator_loss(rf, gf)
+            rs, gs, _, _ = trainer.mrd.apply(
+                {"params": state.disc_params["mrd"]}, tgt, fake)
+            ls, _, _ = discriminator_loss(rs, gs)
+            return c + lf + ls, None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n_inner))
+        return acc
+
+    @jax.jit
+    def disc_fwd_bwd(state, mix, tgt, key):
+        def body(c, i):
+            fake = mix * (1 + 1e-6 * c)
+            def loss(dp):
+                rf, gf, _, _ = trainer.mpd.apply({"params": dp["mpd"]},
+                                                 tgt, fake)
+                lf, _, _ = discriminator_loss(rf, gf)
+                rs, gs, _, _ = trainer.mrd.apply({"params": dp["mrd"]},
+                                                 tgt, fake)
+                ls, _, _ = discriminator_loss(rs, gs)
+                return lf + ls
+            g = jax.grad(loss)(state.disc_params)
+            return c + leaf_sum(g), None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n_inner))
+        return acc
+
+    @jax.jit
+    def full_step(state, mix, tgt, key):
+        def body(carry, i):
+            st, acc = carry
+            st2, m = trainer.train_step(st, (mix, tgt),
+                                        jax.random.fold_in(key, i))
+            return (st2, acc + m["train/loss_gen"]), None
+        (st, acc), _ = jax.lax.scan(body, (state, jnp.zeros(())),
+                                    jnp.arange(n_inner))
+        return acc
+
+    @jax.jit
+    def cond_only(state, mix, tgt, key):
+        def body(c, i):
+            cond, y_raw, _ = model.apply_cond(state.gen_params,
+                                              mix * (1 + 1e-6 * c))
+            return c + y_raw.astype(jnp.float32).sum() + sum(
+                x.astype(jnp.float32).sum() for x in cond), None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n_inner))
+        return acc
+
+    @jax.jit
+    def score_only(state, mix, tgt, key):
+        cond, y_raw, _ = model.apply_cond(state.gen_params, mix)
+        sigma = jnp.full((batch,), 0.1)
+        def body(c, i):
+            s = model.score_fn(state.gen_params)(
+                tgt * (1 + 1e-6 * c), sigma, cond)
+            return c + s.astype(jnp.float32).sum(), None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n_inner))
+        return acc
+
+    variants = {"gen": [("gen fwd", gen_fwd), ("gen fwd+bwd", gen_fwd_bwd)],
+                "parts": [("cond only", cond_only),
+                          ("cond + N score", score_only)],
+                "disc": [("disc fwd (real+fake)", disc_fwd),
+                         ("disc fwd+bwd", disc_fwd_bwd)],
+                "full": [("FULL train step", full_step)]}
+    sel = [a for a in sys.argv[1:] if not a.startswith("--")] or ["gen"]
+    for s in sel:
+        for name, fn in variants[s]:
+            dt = timed(fn, state, mix, tgt, key) / n_inner
+            print(f"{name:22s}: {dt*1e3:9.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
