@@ -22,3 +22,23 @@ Layer map (mirrors reference SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+# ------------------------------------------------------------------
+# Persistent XLA compilation cache: on remote-compile TPU tunnels a
+# train-step compile can take minutes; caching executables on disk makes
+# every rerun (bench, profiling, resumed training) start instantly.
+# Opt out with OUT_JAX_CACHE=0; relocate with OUT_JAX_CACHE=/path.
+import os as _os
+
+_cache = _os.environ.get("OUT_JAX_CACHE", "")
+if _cache != "0":
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _cache or _os.path.join(_os.path.dirname(__file__), "..",
+                                    ".jax_cache"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

@@ -80,7 +80,10 @@ def main(argv=None):
             init_len = min(audio_len, model.tot_ds * 10)
             state = trainer.init(k_init, example_len=init_len,
                                  batch=cfg["datamodule"].get("batch_size", 8))
-    state = jax.device_put(state)
+    # pin to the accelerator: device_put with no target leaves a
+    # CPU-committed pytree on CPU, so every jit call would re-ship the
+    # whole state over the device link (and donation could not alias)
+    state = jax.device_put(state, jax.devices()[0])
 
     ckpt_dir = Path(run["ckpt_dir"])
     start_step = 0

@@ -205,13 +205,25 @@ class UniverseModel:
         return self.cond_net.apply({"params": params["cond"]}, x,
                                    x_wav=x_wav, train=train)
 
-    def apply_score_raw(self, params, x, sigma, cond):
+    def apply_score_raw(self, params, x, sigma, cond,
+                        cond_projected: bool = False):
         return self.score_net.apply({"params": params["score"]}, x, sigma,
-                                    cond)
+                                    cond, cond_projected=cond_projected)
 
-    def score_fn(self, params):
+    def project_score_cond(self, params, cond):
+        """Apply the score decoder's per-level signal-cond 1x1 convs.
+
+        The conditioner output is constant across sampler steps, so this
+        projection is loop-invariant: ``enhance()`` runs it once and calls
+        the score net with ``cond_projected=True``, keeping the projection
+        reads/writes out of the 8-step hot loop."""
+        return self.score_net.apply({"params": params["score"]}, cond,
+                                    method="project_cond")
+
+    def score_fn(self, params, cond_projected: bool = False):
         """Score function with optional EDM parameterization."""
-        raw = lambda x, s, c: self.apply_score_raw(params, x, s, c)
+        raw = lambda x, s, c: self.apply_score_raw(
+            params, x, s, c, cond_projected=cond_projected)
         if self.cfg.edm is not None:
             return make_edm_score_fn(raw, self.cfg.edm)
         return raw
@@ -301,7 +313,10 @@ class UniverseModel:
                 score_fn = make_oracle_score_fn(target, snr)
                 oracle = True
             else:
-                score_fn = self.score_fn(params)
+                # hoist the loop-invariant signal-cond projections out of
+                # the sampler scan (see project_score_cond)
+                cond = self.project_score_cond(params, cond)
+                score_fn = self.score_fn(params, cond_projected=True)
                 oracle = False
             aux = (self.aux_to_wav(params, aux_signal)
                    if warm_start is not None else None)

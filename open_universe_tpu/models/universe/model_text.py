@@ -103,8 +103,10 @@ class TextUniverseModel(UniverseModel):
         mix, pad = self.pad(mix)
         (mix, _), *_ = self.normalize_batch((mix, None))
         cond, aux, _ = self.apply_cond(params, mix, text=text)
+        cond = self.project_score_cond(params, cond)
         x = reverse_sde_sample(
-            self.score_fn(params), cond, mix.shape, key, self.cfg.diffusion,
+            self.score_fn(params, cond_projected=True), cond, mix.shape, key,
+            self.cfg.diffusion,
             n_steps=kwargs.get("n_steps"), epsilon=kwargs.get("epsilon"))
         x = self.unpad(x, pad)
         t = x.shape[-2]

@@ -75,6 +75,12 @@ class ScoreEncoder(nn.Module):
 
 
 class ScoreDecoder(nn.Module):
+    """Setup-style (not ``nn.compact``) so the per-level signal-conditioning
+    1x1 convs can ALSO be applied on their own via ``project_cond``: the
+    conditioner output is fixed across all sampler steps, so ``enhance()``
+    projects it ONCE per utterance instead of once per score call — at the
+    two highest-resolution levels that removes HBM traffic from the 8-step
+    loop. Param paths are unchanged vs the previous compact version."""
     up_factors: Sequence[int]  # reversed rate factors
     input_channels: int
     noise_cond_dim: int
@@ -83,35 +89,43 @@ class ScoreDecoder(nn.Module):
     use_weight_norm: bool = False
     use_antialiasing: bool = False
 
-    @nn.compact
-    def __call__(self, x, noise_cond, input_cond, residuals, lengths):
+    def setup(self):
         c = self.input_channels
         n = len(self.up_factors)
         blocks = []
         if self.with_extra_conv_block:
-            oc = c * 2**n
-            blocks.append(("extra", oc, None))
+            blocks.append(("extra", c * 2**n, None))
         for i, r in enumerate(self.up_factors):
-            ch = c * 2 ** (n - i - 1)
-            blocks.append((f"up_{i}", ch, r))
-
-        for (name, ch, r), cond, res, length in zip(blocks, input_cond,
-                                                    residuals, lengths):
-            nc = Dense(2 * ch, use_weight_norm=self.use_weight_norm,
-                       name=f"noise_cond_proj_{name}")(noise_cond)
-            sc = Conv1d(ch, 1, use_weight_norm=self.use_weight_norm,
-                        name=f"signal_cond_proj_{name}")(cond)
+            blocks.append((f"up_{i}", c * 2 ** (n - i - 1), r))
+        self.blocks = tuple(blocks)
+        for name, ch, r in blocks:
+            setattr(self, f"noise_cond_proj_{name}",
+                    Dense(2 * ch, use_weight_norm=self.use_weight_norm))
+            setattr(self, f"signal_cond_proj_{name}",
+                    Conv1d(ch, 1, use_weight_norm=self.use_weight_norm))
             if r is None:
-                x, *_ = ConvBlock(ch, act_type=self.act_type,
-                                  use_weight_norm=self.use_weight_norm,
-                                  name=name)(x, noise_cond=nc, input_cond=sc,
-                                             res=res, length=length)
+                blk = ConvBlock(ch, act_type=self.act_type,
+                                use_weight_norm=self.use_weight_norm)
             else:
-                x, *_ = ConvBlock(ch, r, "up", act_type=self.act_type,
-                                  use_weight_norm=self.use_weight_norm,
-                                  antialiasing=self.use_antialiasing,
-                                  name=name)(x, noise_cond=nc, input_cond=sc,
-                                             res=res, length=length)
+                blk = ConvBlock(ch, r, "up", act_type=self.act_type,
+                                use_weight_norm=self.use_weight_norm,
+                                antialiasing=self.use_antialiasing)
+            setattr(self, name, blk)
+
+    def project_cond(self, input_cond):
+        """Per-level 1x1 signal-cond projections (sampler-loop-invariant)."""
+        return [getattr(self, f"signal_cond_proj_{name}")(cond)
+                for (name, _, _), cond in zip(self.blocks, input_cond)]
+
+    def __call__(self, x, noise_cond, input_cond, residuals, lengths,
+                 cond_projected: bool = False):
+        if not cond_projected:
+            input_cond = self.project_cond(input_cond)
+        for (name, ch, r), sc, res, length in zip(self.blocks, input_cond,
+                                                  residuals, lengths):
+            nc = getattr(self, f"noise_cond_proj_{name}")(noise_cond)
+            x, *_ = getattr(self, name)(x, noise_cond=nc, input_cond=sc,
+                                        res=res, length=length)
         return x
 
 
@@ -133,20 +147,14 @@ class ScoreNetwork(nn.Module):
     use_antialiasing: bool = False
     time_embedding: str = "rff"  # rff | simple
 
-    @nn.compact
-    def __call__(self, x, sigma, cond):
-        n_samples = x.shape[-2]
-
+    def setup(self):
         if self.time_embedding == "simple":
-            g = SimpleTimeEmbedding(n_dim=self.noise_cond_dim,
-                                    name="sigma_block")(jnp.log10(sigma))
+            self.sigma_block = SimpleTimeEmbedding(n_dim=self.noise_cond_dim)
         else:
-            g = SigmaBlock(self.n_rff, self.noise_cond_dim,
-                           name="sigma_block")(jnp.log10(sigma))
-
-        x = Conv1d(self.n_channels, self.fb_kernel_size, padding="same",
-                   name="input_conv")(x)
-        h, residuals, lengths = ScoreEncoder(
+            self.sigma_block = SigmaBlock(self.n_rff, self.noise_cond_dim)
+        self.input_conv = Conv1d(self.n_channels, self.fb_kernel_size,
+                                 padding="same")
+        self.encoder = ScoreEncoder(
             ds_factors=self.rate_factors,
             input_channels=self.n_channels,
             noise_cond_dim=self.noise_cond_dim,
@@ -155,22 +163,35 @@ class ScoreNetwork(nn.Module):
             act_type=self.encoder_act_type,
             use_weight_norm=self.use_weight_norm,
             seq_model=self.seq_model,
-            use_antialiasing=self.use_antialiasing,
-            name="encoder")(x, noise_cond=g)
-        s = ScoreDecoder(
+            use_antialiasing=self.use_antialiasing)
+        self.decoder = ScoreDecoder(
             up_factors=tuple(self.rate_factors[::-1]),
             input_channels=self.n_channels,
             noise_cond_dim=self.noise_cond_dim,
             with_extra_conv_block=self.extra_conv_block,
             act_type=self.decoder_act_type,
             use_weight_norm=self.use_weight_norm,
-            use_antialiasing=self.use_antialiasing,
-            name="decoder")(h, noise_cond=g, input_cond=cond,
-                            residuals=residuals, lengths=lengths)
-        s = PReLU(name="prelu")(s)
-        s = PReLUConv(self.output_channels, kernel_size=self.fb_kernel_size,
-                      padding="same", use_weight_norm=self.use_weight_norm,
-                      name="output_conv")(s)
+            use_antialiasing=self.use_antialiasing)
+        self.prelu = PReLU()
+        self.output_conv = PReLUConv(
+            self.output_channels, kernel_size=self.fb_kernel_size,
+            padding="same", use_weight_norm=self.use_weight_norm)
+
+    def project_cond(self, cond):
+        """Hoistable per-level signal-cond projections (see ScoreDecoder)."""
+        return self.decoder.project_cond(cond)
+
+    def __call__(self, x, sigma, cond, cond_projected: bool = False):
+        n_samples = x.shape[-2]
+
+        g = self.sigma_block(jnp.log10(sigma))
+        x = self.input_conv(x)
+        h, residuals, lengths = self.encoder(x, noise_cond=g)
+        s = self.decoder(h, noise_cond=g, input_cond=cond,
+                         residuals=residuals, lengths=lengths,
+                         cond_projected=cond_projected)
+        s = self.prelu(s)
+        s = self.output_conv(s)
         t = s.shape[-2]
         if t < n_samples:
             s = jnp.pad(s, ((0, 0), (0, n_samples - t), (0, 0)))

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .conv import _torch_conv_init
+from .conv import _torch_conv_init, get_compute_dtype
 
 
 class Conv2d(nn.Module):
@@ -39,8 +39,9 @@ class Conv2d(nn.Module):
         else:
             kernel = self.param("kernel",
                                 lambda k: _torch_conv_init(k, w_shape, fan_in))
+        cd = get_compute_dtype()
         y = jax.lax.conv_general_dilated(
-            x, kernel,
+            x.astype(cd), kernel.astype(cd),
             window_strides=self.strides,
             padding=[tuple(p) for p in self.padding],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -48,5 +49,5 @@ class Conv2d(nn.Module):
         if self.use_bias:
             b = self.param("bias", lambda k: _torch_conv_init(k, (self.features,),
                                                               fan_in))
-            y = y + b
+            y = y + b.astype(cd)
         return y

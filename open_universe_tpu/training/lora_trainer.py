@@ -139,7 +139,10 @@ class UniverseLoRATrainer:
 
         sigma, eta, beta = sampler_coefficients(dcfg, n_steps=n)
         cond, aux, _ = model.apply_cond(params, mix)
-        score_fn = model.score_fn(params)
+        # signal-cond projections are fixed across the n sampler steps;
+        # project once (differentiable — grads still reach LoRA adapters)
+        cond = model.project_score_cond(params, cond)
+        score_fn = model.score_fn(params, cond_projected=True)
 
         key, k0 = jax.random.split(key)
         x = sigma[0] * jax.random.normal(k0, mix.shape)
@@ -179,7 +182,8 @@ class UniverseLoRATrainer:
         time = jnp.ones((mix.shape[0],))
         sigma = get_std_dev(time, dcfg)
         cond, aux, _ = model.apply_cond(params, mix)
-        score_fn = model.score_fn(params)
+        cond = model.project_score_cond(params, cond)
+        score_fn = model.score_fn(params, cond_projected=True)
 
         x = sigma[:, None, None] * jax.random.normal(k0, mix.shape)
         for i in range(n - 1):

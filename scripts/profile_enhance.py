@@ -44,7 +44,8 @@ def main():
 
     model = UniverseModel(UniverseConfig())
     params = jax.device_put(
-        model.init(jax.random.PRNGKey(0), example_len=1600, batch=1))
+        model.init(jax.random.PRNGKey(0), example_len=1600, batch=1),
+        jax.devices()[0])
     mix = jax.random.normal(jax.random.PRNGKey(1), (batch, t, 1)) * 0.05
     key = jax.random.PRNGKey(2)
 

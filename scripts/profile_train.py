@@ -40,7 +40,7 @@ def main():
     with jax.default_device(cpu):
         state = trainer.init(jax.random.PRNGKey(0), example_len=1600,
                              batch=1)
-    state = jax.device_put(state)
+    state = jax.device_put(state, jax.devices()[0])
     if "--pallas-gru" in sys.argv:
         from open_universe_tpu.ops.gru import set_use_pallas_gru
         set_use_pallas_gru(True)

@@ -116,3 +116,29 @@ def test_si_sdr():
     # scale invariance at moderate SNR (eps floor dominates at extreme SNR)
     v4 = si_sdr(3.0 * noisy, x)
     np.testing.assert_allclose(np.asarray(v3), np.asarray(v4), atol=1e-3)
+
+
+def test_ssl_feature_loss():
+    """LMOS (ref wavlm_loss.py:8-76): w*MSE(phi) + L1(|STFT|)."""
+    from open_universe_tpu.losses import SSLFeatureLoss
+
+    # cheap stand-in feature fn: strided frame-energy features (B, F, D)
+    def feat(wav):
+        f = wav.reshape(wav.shape[0], -1, 80)
+        return jnp.stack([f.mean(-1), f.std(-1), jnp.abs(f).mean(-1)], -1)
+
+    loss = SSLFeatureLoss(feature_fn=feat, stft_n_fft=256, stft_hop=64,
+                          feat_weight=100.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4000))
+    assert float(loss(x, x)) < 1e-6
+    y = x + 0.3 * jax.random.normal(jax.random.PRNGKey(1), x.shape)
+    v = float(loss(y, x))
+    assert v > 0.01
+    # feat term carries the configured weight
+    hi = SSLFeatureLoss(feature_fn=feat, stft_n_fft=256, stft_hop=64,
+                        feat_weight=1000.0)
+    assert float(hi(y, x)) > v
+    # gradient flows to the estimate, jit-compatible
+    g = jax.grad(lambda e: SSLFeatureLoss(
+        feature_fn=feat, stft_n_fft=256, stft_hop=64)(e, x))(y)
+    assert float(jnp.abs(g).max()) > 0

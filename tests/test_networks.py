@@ -113,3 +113,18 @@ def test_discriminators():
     rs2, gs2, fr2, fg2 = mrd.apply(p2, x, y)
     assert len(rs2) == 3
     assert len(fr2[0]) == 6
+
+
+def test_hoisted_signal_cond_projection(nets):
+    """project_cond + cond_projected=True == inline projection (the
+    sampler-loop hoist in UniverseModel.enhance must be a no-op math-wise)."""
+    score, cond, score_params, cond_params = nets
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, T, 1)) * 0.1
+    conditions, *_ = cond.apply(cond_params, x)
+    sigma = jnp.full((B,), 0.3)
+    s_ref = score.apply(score_params, x, sigma, conditions)
+    proj = score.apply(score_params, conditions, method="project_cond")
+    assert len(proj) == len(conditions)
+    s_new = score.apply(score_params, x, sigma, proj, cond_projected=True)
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_new),
+                               rtol=1e-5, atol=1e-6)
