@@ -65,6 +65,13 @@ class GanTrainConfig:
     time_sampling: str = "time_normal_0.95"
     dynamic_mixing: bool = False
     ema_decay: float = 0.999
+    # gradient accumulation (reference accumulate_grad_batches,
+    # config/model/default.yaml:83): optimizers apply every k micro-steps
+    accumulate_grad_batches: int = 1
+    # rematerialize the generator forward during the pullback: trades one
+    # extra U-Net forward for not keeping its residuals in HBM, letting the
+    # batch (and MXU efficiency) grow on a fixed-HBM chip
+    remat: bool = False
 
 
 @struct.dataclass
@@ -118,6 +125,10 @@ class GanTrainer:
             optax.add_decayed_weights(cfg.weight_decay),  # torch AdamW default
             optax.scale_by_learning_rate(self._sched),
         )
+        if cfg.accumulate_grad_batches > 1:
+            k = cfg.accumulate_grad_batches
+            self.gen_tx = optax.MultiSteps(self.gen_tx, k)
+            self.disc_tx = optax.MultiSteps(self.disc_tx, k)
 
     # ----------------------------------------------------------------- init
     def init(self, key, example_len: int = 1600, batch: int = 1
@@ -182,6 +193,8 @@ class GanTrainer:
                                             mix_wav.shape[-2])
             return score, y_est
 
+        if cfg.remat:
+            gen_forward = jax.checkpoint(gen_forward)
         (score, y_est), gen_vjp = jax.vjp(gen_forward, state.gen_params)
         y_det = jax.lax.stop_gradient(y_est)
 

@@ -84,6 +84,8 @@ class TextGanTrainer(GanTrainer):
             y_est = model.aux_to_wav(gen_params, y_raw)
             return score, y_est, (info["attn_map"], info["div_loss"])
 
+        if cfg.remat:
+            gen_forward = jax.checkpoint(gen_forward)
         (score, y_est, (attn_map, div_loss)), gen_vjp = jax.vjp(
             gen_forward, state.gen_params)
         y_det = jax.lax.stop_gradient(y_est)

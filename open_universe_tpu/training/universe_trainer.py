@@ -44,6 +44,8 @@ class MdnTrainConfig:
     dynamic_mixing: bool = False
     ema_decay: float = 0.999
     with_noise_target: bool = False
+    accumulate_grad_batches: int = 1  # optimizer applies every k micro-steps
+    remat: bool = False  # recompute the forward in backward (HBM for FLOPs)
 
 
 @struct.dataclass
@@ -93,6 +95,8 @@ class MdnTrainer:
             optax.add_decayed_weights(cfg.weight_decay, mask=_wd_mask),
             optax.scale_by_learning_rate(sched),
         )
+        if cfg.accumulate_grad_batches > 1:
+            self.tx = optax.MultiSteps(self.tx, cfg.accumulate_grad_batches)
 
     def init(self, key, batch: int = 1) -> MdnTrainState:
         fs = self.model.cfg.fs
@@ -191,6 +195,8 @@ class MdnTrainer:
         def loss_fn(params):
             return self.compute_losses(params, mix, target, k_loss)
 
+        if cfg.remat:
+            loss_fn = jax.checkpoint(loss_fn)
         (loss, (l_score, l_signal, l_latent)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         grads, gnorm = clip_by_global_norm(grads, cfg.grad_clip)

@@ -109,6 +109,79 @@ def test_mdn_train_step():
     assert losses[-1] < losses[0], losses
 
 
+def test_gan_grad_accumulation(gan_setup):
+    """accumulate_grad_batches=2: no param change after step 1, change
+    after step 2 (reference accumulate_grad_batches,
+    config/model/default.yaml:83)."""
+    trainer, _ = gan_setup
+    acc_trainer = GanTrainer(trainer.model, GanTrainConfig(**{
+        **TINY_GAN.__dict__, "accumulate_grad_batches": 2}))
+    state = acc_trainer.init(jax.random.PRNGKey(0), example_len=T, batch=2)
+    mix, clean = _batch(jax.random.PRNGKey(11))
+    step = jax.jit(acc_trainer.train_step)
+    s1, m1 = step(state, (mix, clean), jax.random.PRNGKey(12))
+    d1 = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                state.gen_params, s1.gen_params)
+    assert max(jax.tree_util.tree_leaves(d1)) == 0.0  # accumulating
+    s2, m2 = step(s1, (mix, clean), jax.random.PRNGKey(13))
+    d2 = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                state.gen_params, s2.gen_params)
+    assert max(jax.tree_util.tree_leaves(d2)) > 0  # applied
+    dd = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                state.disc_params, s2.disc_params)
+    assert max(jax.tree_util.tree_leaves(dd)) > 0
+    for k, v in m2.items():
+        assert bool(jnp.isfinite(v)), k
+
+
+def test_gan_remat_matches(gan_setup):
+    """remat=True recomputes the generator forward in the pullback —
+    results must be bit-compatible with the residual-saving path."""
+    trainer, state = gan_setup
+    remat_trainer = GanTrainer(trainer.model, GanTrainConfig(**{
+        **TINY_GAN.__dict__, "remat": True}))
+    mix, clean = _batch(jax.random.PRNGKey(14))
+    key = jax.random.PRNGKey(15)
+    s_ref, m_ref = jax.jit(trainer.train_step)(state, (mix, clean), key)
+    s_new, m_new = jax.jit(remat_trainer.train_step)(state, (mix, clean), key)
+    for k in m_ref:
+        np.testing.assert_allclose(float(m_ref[k]), float(m_new[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+    a = jax.tree_util.tree_leaves(s_ref.gen_params)
+    b = jax.tree_util.tree_leaves(s_new.gen_params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_mdn_accum_and_remat():
+    model = UniverseModel(TINY_MODEL)
+    base = dict(audio_len_s=T / TINY_MODEL.fs, t_warmup=10, t_cosine=11,
+                t_max=100)
+    mix, clean = _batch(jax.random.PRNGKey(16))
+    key = jax.random.PRNGKey(17)
+
+    tr = MdnTrainer(model, MdnTrainConfig(**base))
+    st = tr.init(jax.random.PRNGKey(0), batch=2)
+    _, m_ref = jax.jit(tr.train_step)(st, (mix, clean), key)
+
+    tr_r = MdnTrainer(model, MdnTrainConfig(remat=True, **base))
+    _, m_new = jax.jit(tr_r.train_step)(st, (mix, clean), key)
+    np.testing.assert_allclose(float(m_ref["train/loss"]),
+                               float(m_new["train/loss"]), rtol=1e-5)
+
+    tr_a = MdnTrainer(model, MdnTrainConfig(accumulate_grad_batches=2, **base))
+    st_a = tr_a.init(jax.random.PRNGKey(0), batch=2)
+    s1, _ = jax.jit(tr_a.train_step)(st_a, (mix, clean), key)
+    d1 = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                st_a.params, s1.params)
+    assert max(jax.tree_util.tree_leaves(d1)) == 0.0
+    s2, _ = jax.jit(tr_a.train_step)(s1, (mix, clean), key)
+    d2 = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                st_a.params, s2.params)
+    assert max(jax.tree_util.tree_leaves(d2)) > 0
+
+
 def test_gan_val_score_losses(gan_setup):
     trainer, state = gan_setup
     mix, clean = _batch(jax.random.PRNGKey(8))
