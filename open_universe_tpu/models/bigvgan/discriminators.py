@@ -14,8 +14,9 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.conv import get_compute_dtype
 from ...ops.conv2d import Conv2d
-from ...ops.stft import stft as stft_fn
+from ...ops.stft import stft_magnitude
 
 LRELU_SLOPE = 0.1
 
@@ -37,13 +38,24 @@ class DiscriminatorP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x: (B, T, 1) -> reflect-pad to period multiple -> (B, T/p, p, 1)
+        # x: (B, T, 1) -> reflect-pad to period multiple -> (B, T/p, p, 1).
+        # Every conv has a width-1 kernel/stride on the period axis, i.e. the
+        # period columns are independent 1-D conv problems with shared
+        # weights — so fold the period into BATCH once up front: (B, H, p, C)
+        # -> (B*p, H, 1, C). Measured ~20% faster than the (5,1) 2-D conv
+        # over a tiny W axis (scripts/bench_discp.py); exact same math, and
+        # the Conv2d param shapes are unchanged.
         b, t, c = x.shape
         if t % self.period != 0:
             n_pad = self.period - (t % self.period)
             x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
             t = t + n_pad
         x = x.reshape(b, t // self.period, self.period, c)
+        x = x.transpose(0, 2, 1, 3).reshape(b * self.period,
+                                            t // self.period, 1, c)
+
+        def unfold(h):  # (B*p, H, 1, C) -> (B, p, H, C), batch-split-safe
+            return h.reshape(b, self.period, h.shape[1], h.shape[3])
 
         fmap = []
         pad = _get_padding(5, 1)
@@ -54,15 +66,15 @@ class DiscriminatorP(nn.Module):
                        padding=((pad, pad), (0, 0)),
                        use_weight_norm=True, name=f"conv_{i}")(x)
             x = _lrelu(x)
-            fmap.append(x)
+            fmap.append(unfold(x))
         x = Conv2d(1024 * self.channel_mult, (self.kernel_size, 1),
                    strides=(1, 1), padding=((2, 2), (0, 0)),
                    use_weight_norm=True, name="conv_4")(x)
         x = _lrelu(x)
-        fmap.append(x)
+        fmap.append(unfold(x))
         x = Conv2d(1, (3, 1), strides=(1, 1), padding=((1, 1), (0, 0)),
                    use_weight_norm=True, name="conv_post")(x)
-        fmap.append(x)
+        fmap.append(unfold(x))
         return x.reshape(b, -1), fmap
 
 
@@ -76,8 +88,10 @@ class DiscriminatorR(nn.Module):
         w = x[..., 0]
         p = (n_fft - hop) // 2
         w = jnp.pad(w, ((0, 0), (p, p)), mode="reflect")
-        spec = stft_fn(w, n_fft, hop, win_length=win, center=False)
-        mag = jnp.sqrt(spec.real**2 + spec.imag**2 + 1e-12)
+        # magnitude via the windowed-DFT matmul (MXU, compute dtype) — ~1.6x
+        # the TPU FFT path for these sizes (scripts/bench_discr.py)
+        mag = stft_magnitude(w, n_fft, hop, win_length=win, center=False,
+                             dtype=get_compute_dtype())
         # (B, frames, F) -> (B, F, frames, 1): freq is H, time is W
         return jnp.swapaxes(mag, 1, 2)[..., None]
 
@@ -111,18 +125,36 @@ class DiscriminatorR(nn.Module):
         return x.reshape(b, -1), fmap
 
 
+def _apply_paired(d, y, y_hat, paired: bool):
+    """Run real and fake through the discriminator, optionally as ONE batch.
+
+    Every op in DiscriminatorP/R is batch-parallel (pad/reshape/STFT/conv),
+    so concatenating along batch is exact — it halves the kernel-launch
+    count and doubles the per-conv batch, which keeps the MXU fed at
+    training batch sizes (the discriminators dominate the GAN step cost).
+    Use ``paired=False`` when only the FAKE half needs input gradients
+    (the generator update): with a concatenated batch the conv input-VJPs
+    would be computed for the real half too, only to be sliced away."""
+    if not paired:
+        r, fr = d(y)
+        g, fg = d(y_hat)
+        return r, g, fr, fg
+    b = y.shape[0]
+    out, fmap = d(jnp.concatenate([y, y_hat], axis=0))
+    return out[:b], out[b:], [f[:b] for f in fmap], [f[b:] for f in fmap]
+
+
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     channel_mult: int = 1
 
     @nn.compact
-    def __call__(self, y, y_hat):
+    def __call__(self, y, y_hat, paired: bool = True):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for p in self.periods:
             d = DiscriminatorP(period=p, channel_mult=self.channel_mult,
                                name=f"p{p}")
-            r, fr = d(y)
-            g, fg = d(y_hat)
+            r, g, fr, fg = _apply_paired(d, y, y_hat, paired)
             y_d_rs.append(r)
             y_d_gs.append(g)
             fmap_rs.append(fr)
@@ -136,14 +168,13 @@ class MultiResolutionDiscriminator(nn.Module):
     channel_mult: int = 1
 
     @nn.compact
-    def __call__(self, y, y_hat):
+    def __call__(self, y, y_hat, paired: bool = True):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for res in self.resolutions:
             d = DiscriminatorR(resolution=tuple(res),
                                channel_mult=self.channel_mult,
                                name=f"r{res[0]}_{res[1]}")
-            r, fr = d(y)
-            g, fg = d(y_hat)
+            r, g, fr, fg = _apply_paired(d, y, y_hat, paired)
             y_d_rs.append(r)
             y_d_gs.append(g)
             fmap_rs.append(fr)

@@ -81,6 +81,48 @@ def _pad_reflect(x, lo: int, hi: int):
     return jnp.pad(x, ((0, 0), (lo, hi)), mode="reflect")
 
 
+@lru_cache(maxsize=None)
+def dft_basis(n_fft: int, win_length: int = None) -> np.ndarray:
+    """Windowed real-DFT basis ``(n_fft, 2*(n_fft//2+1))`` = [cos | -sin].
+
+    ``frames @ basis`` equals the windowed rFFT with re/im stacked along the
+    last axis. On TPU this runs on the MXU and measures ~1.6x faster than
+    the native FFT for MRD-sized transforms (scripts/bench_discr.py)."""
+    if win_length is None:
+        win_length = n_fft
+    k = np.arange(n_fft // 2 + 1)
+    n = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(n, k) / n_fft
+    window = hann_window(win_length, n_fft)
+    basis = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)
+    return (basis * window[:, None]).astype(np.float32)
+
+
+def stft_magnitude(x, n_fft: int, hop: int, win_length: int = None,
+                   center: bool = False, pad_mode: str = "reflect",
+                   dtype=None, eps: float = 1e-12):
+    """|STFT| of ``x (B, T)`` -> ``(B, n_frames, n_fft//2+1)`` via ONE matmul.
+
+    Equivalent to ``abs(stft(...))`` but expressed as a windowed-DFT-basis
+    matmul so it rides the MXU (optionally in bfloat16 via ``dtype``) instead
+    of the TPU FFT path. Used by the MRD discriminators where magnitude
+    precision at bf16 is ample (training signal only)."""
+    if center:
+        p = n_fft // 2
+        x = _pad_reflect(x, p, p) if pad_mode == "reflect" else jnp.pad(
+            x, ((0, 0), (p, p)))
+    frames = frame_signal(x, n_fft, hop)
+    basis = jnp.asarray(dft_basis(n_fft, win_length))
+    if dtype is not None:
+        frames = frames.astype(dtype)
+        basis = basis.astype(dtype)
+    z = frames @ basis
+    f = n_fft // 2 + 1
+    re = z[..., :f].astype(jnp.float32)
+    im = z[..., f:].astype(jnp.float32)
+    return jnp.sqrt(re * re + im * im + eps)
+
+
 def overlap_add(frames, hop: int):
     """Overlap-add ``frames (B, NF, W)`` at stride ``hop`` -> ``(B, (NF-1)*hop+W)``.
 

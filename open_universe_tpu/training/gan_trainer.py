@@ -239,12 +239,15 @@ class GanTrainer:
             mel_y = model.compute_mel_spec(y_est)
             loss_mel = jnp.mean(jnp.abs(mel_y - mel_target))
 
+            # paired=False: only the fake half needs input gradients here
             rf, gf, fr, fg = self.mpd.apply(
-                {"params": new_disc_params["mpd"]}, target_original, y_est)
+                {"params": new_disc_params["mpd"]}, target_original, y_est,
+                paired=False)
             loss_fm_f = feature_loss(fr, fg)
             loss_gen_f, _ = generator_loss(gf)
             rs, gs, fr2, fg2 = self.mrd.apply(
-                {"params": new_disc_params["mrd"]}, target_original, y_est)
+                {"params": new_disc_params["mrd"]}, target_original, y_est,
+                paired=False)
             loss_fm_s = feature_loss(fr2, fg2)
             loss_gen_s, _ = generator_loss(gs)
 

@@ -217,12 +217,15 @@ class UniverseLoRATrainer:
             total, parts = self.losses(enh, target_n, with_dict=True)
             if cfg.use_hifigan_loss:
                 mpd, mrd = self.discriminators
+                # paired=False: only the enhanced half carries gradients
                 rf, gf, fr, fg = mpd.apply(
-                    {"params": self.disc_params["mpd"]}, target_n, enh)
+                    {"params": self.disc_params["mpd"]}, target_n, enh,
+                    paired=False)
                 lg_f, _ = generator_loss(gf)
                 fm_f = feature_loss(fr, fg)
                 rs, gs, fr2, fg2 = mrd.apply(
-                    {"params": self.disc_params["mrd"]}, target_n, enh)
+                    {"params": self.disc_params["mrd"]}, target_n, enh,
+                    paired=False)
                 lg_s, _ = generator_loss(gs)
                 fm_s = feature_loss(fr2, fg2)
                 gan = lg_f + lg_s + fm_f + fm_s

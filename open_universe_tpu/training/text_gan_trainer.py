@@ -123,12 +123,15 @@ class TextGanTrainer(GanTrainer):
             l_score = jnp.mean((sigma[:, None, None] * score + z) ** 2)
             mel_y = model.compute_mel_spec(y_est)
             loss_mel = jnp.mean(jnp.abs(mel_y - mel_target))
+            # paired=False: only the fake half needs input gradients here
             rf, gf, fr, fg = self.mpd.apply(
-                {"params": new_disc_params["mpd"]}, target_original, y_est)
+                {"params": new_disc_params["mpd"]}, target_original, y_est,
+                paired=False)
             fm_f = feature_loss(fr, fg)
             lg_f, _ = generator_loss(gf)
             rs, gs, fr2, fg2 = self.mrd.apply(
-                {"params": new_disc_params["mrd"]}, target_original, y_est)
+                {"params": new_disc_params["mrd"]}, target_original, y_est,
+                paired=False)
             fm_s = feature_loss(fr2, fg2)
             lg_s, _ = generator_loss(gs)
             loss = (cfg.weight_score * l_score + cfg.weight_mel_l1 * loss_mel

@@ -33,7 +33,13 @@ def main():
     n_inner = 2
 
     model = build_model({"fs": 16000})
-    trainer = build_trainer(model, {"kind": "gan"})
+    tcfg = {"kind": "gan"}
+    if "--remat" in sys.argv:
+        tcfg["remat"] = True
+        print("remat: on", flush=True)
+    if "--accum" in sys.argv:
+        tcfg["accumulate_grad_batches"] = 2
+    trainer = build_trainer(model, tcfg)
     # init on host CPU: eager init over the device tunnel pays ~25 ms per
     # dispatched op and takes minutes
     cpu = jax.local_devices(backend="cpu")[0]
@@ -150,7 +156,100 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n_inner))
         return acc
 
+    # ---- staged replication of GanTrainer.train_step to find hidden costs
+    from open_universe_tpu.diffusion.sigma_sampling import sample_sigma
+    from open_universe_tpu.losses.gan import (
+        discriminator_loss as d_loss,
+        feature_loss,
+        generator_loss,
+    )
+    import optax
+
+    def _stage(upto):
+        cfg = trainer.cfg
+        mdl = trainer.model
+
+        def fn(state, mix, tgt, key):
+            def body(c, i):
+                k_s, k_z = jax.random.split(jax.random.fold_in(key, i))
+                (mx, tg), *_ = mdl.normalize_batch((mix * (1 + 1e-6 * c), tgt))
+                sigma, _ = sample_sigma(k_s, mx.shape[0], mdl.cfg.diffusion,
+                                        cfg.time_sampling)
+                z = jax.random.normal(k_z, tg.shape, tg.dtype)
+                x_t = tg + sigma[:, None, None] * z
+
+                def gen_forward(gp):
+                    cond, y_raw, _ = mdl.apply_cond(gp, mx, x_wav=mx)
+                    score = mdl.score_fn(gp)(x_t, sigma, cond)
+                    return score, mdl.aux_to_wav(gp, y_raw)
+
+                (score, y_est), gen_vjp = jax.vjp(gen_forward,
+                                                  state.gen_params)
+                acc = score.astype(jnp.float32).sum() + y_est.astype(
+                    jnp.float32).sum()
+                if upto == "vjpfwd":
+                    return c + acc, None
+                y_det = jax.lax.stop_gradient(y_est)
+
+                def dl(dp):
+                    rf, gf, _, _ = trainer.mpd.apply({"params": dp["mpd"]},
+                                                     tg, y_det)
+                    lf, _, _ = d_loss(rf, gf)
+                    rs, gs, _, _ = trainer.mrd.apply({"params": dp["mrd"]},
+                                                     tg, y_det)
+                    ls, _, _ = d_loss(rs, gs)
+                    return lf + ls
+
+                ld, dgrads = jax.value_and_grad(dl)(state.disc_params)
+                if upto == "discgrad":
+                    return c + acc + ld + sum(
+                        v.astype(jnp.float32).sum()
+                        for v in jax.tree.leaves(dgrads)), None
+                dupd, dopt = trainer.disc_tx.update(dgrads, state.disc_opt,
+                                                    state.disc_params)
+                ndp = optax.apply_updates(state.disc_params, dupd)
+                if upto == "discopt":
+                    return c + acc + ld + sum(
+                        v.astype(jnp.float32).sum()
+                        for v in jax.tree.leaves(ndp)), None
+                mel_t = mdl.compute_mel_spec(tg)
+
+                def down(score, y_est):
+                    l = jnp.mean((sigma[:, None, None] * score + z) ** 2)
+                    l += 45.0 * jnp.mean(
+                        jnp.abs(mdl.compute_mel_spec(y_est) - mel_t))
+                    rf, gf, fr, fg = trainer.mpd.apply(
+                        {"params": ndp["mpd"]}, tg, y_est, paired=False)
+                    rs, gs, fr2, fg2 = trainer.mrd.apply(
+                        {"params": ndp["mrd"]}, tg, y_est, paired=False)
+                    l += (feature_loss(fr, fg) + feature_loss(fr2, fg2)
+                          + generator_loss(gf)[0] + generator_loss(gs)[0])
+                    return l
+
+                lg, (ds, dy) = jax.value_and_grad(down, argnums=(0, 1))(
+                    score, y_est)
+                if upto == "downgrad":
+                    return c + acc + ld + lg + ds.astype(
+                        jnp.float32).sum() + dy.astype(jnp.float32).sum(), None
+                (ggrads,) = gen_vjp((ds, dy))
+                if upto == "pullback":
+                    return c + acc + ld + lg + sum(
+                        v.astype(jnp.float32).sum()
+                        for v in jax.tree.leaves(ggrads)), None
+                gupd, gopt = trainer.gen_tx.update(ggrads, state.gen_opt,
+                                                   state.gen_params)
+                ngp = optax.apply_updates(state.gen_params, gupd)
+                return c + acc + ld + lg + sum(
+                    v.astype(jnp.float32).sum()
+                    for v in jax.tree.leaves(ngp)), None
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n_inner))
+            return acc
+        return jax.jit(fn)
+
     variants = {"gen": [("gen fwd", gen_fwd), ("gen fwd+bwd", gen_fwd_bwd)],
+                "stages": [(f"stage:{s}", _stage(s)) for s in
+                           ("vjpfwd", "discgrad", "discopt", "downgrad",
+                            "pullback", "genopt")],
                 "parts": [("cond only", cond_only),
                           ("cond + N score", score_only)],
                 "disc": [("disc fwd (real+fake)", disc_fwd),

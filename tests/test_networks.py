@@ -115,6 +115,36 @@ def test_discriminators():
     assert len(fr2[0]) == 6
 
 
+def test_discriminator_paired_batch_exact():
+    """The concat-real+fake single pass must equal separate passes
+    (the split in _apply_paired is pure batch indexing)."""
+    from open_universe_tpu.models.bigvgan import (
+        MultiPeriodDiscriminator,
+        MultiResolutionDiscriminator,
+    )
+    y = jax.random.normal(jax.random.PRNGKey(0), (2, 400, 1)) * 0.1
+    yh = jax.random.normal(jax.random.PRNGKey(1), (2, 400, 1)) * 0.1
+    for d in (MultiPeriodDiscriminator(periods=(2, 3)),
+              MultiResolutionDiscriminator(resolutions=((64, 16, 32),))):
+        p = d.init(jax.random.PRNGKey(2), y, yh)
+        r, g, fr, fg = d.apply(p, y, yh)
+        # real outputs must not depend on what rides in the fake half
+        r2, g2, fr2, fg2 = d.apply(p, y, y)  # fake half := real input
+        for a, b in zip(r, r2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        for a, b in zip(g2, r2):  # identical halves -> identical outputs
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        r3, g3, fr3, _ = d.apply(p, yh, yh)
+        for a, b in zip(g, r3):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        for fa, fb in zip(fg[0], fr3[0]):  # fmaps split the same way
+            np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                       rtol=1e-6, atol=1e-7)
+
+
 def test_hoisted_signal_cond_projection(nets):
     """project_cond + cond_projected=True == inline projection (the
     sampler-loop hoist in UniverseModel.enhance must be a no-op math-wise)."""

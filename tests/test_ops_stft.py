@@ -118,3 +118,20 @@ def test_sigma_embeddings():
     m2 = SimpleTimeEmbedding(n_dim=32)
     p2 = m2.init(jax.random.PRNGKey(0), s)
     assert m2.apply(p2, s).shape == (3, 32)
+
+
+@pytest.mark.parametrize("n_fft,hop,win", [(1024, 120, 600), (512, 50, 240)])
+def test_stft_magnitude_matmul_matches_fft(n_fft, hop, win):
+    """The windowed-DFT-matmul magnitude (MRD fast path) == |stft|."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+    ref = jnp.abs(ops_stft.stft(x, n_fft, hop, win_length=win, center=False))
+    mag = ops_stft.stft_magnitude(x, n_fft, hop, win_length=win,
+                                  center=False)
+    np.testing.assert_allclose(np.asarray(mag), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    # bf16 variant stays close in a relative sense where energy lives
+    mag16 = ops_stft.stft_magnitude(x, n_fft, hop, win_length=win,
+                                    center=False, dtype=jnp.bfloat16)
+    err = np.abs(np.asarray(mag16) - np.asarray(ref))
+    assert float(np.median(err / (np.asarray(ref) + 1.0))) < 0.05
