@@ -110,5 +110,67 @@ def main():
         print(f"{name:22s}: {dt_s*1e3:8.1f} ms", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "grad" not in __import__("sys").argv:
     main()
+
+
+def main_grad():
+    """Gradient-path bisect: which part of MRD input-bwd is slow."""
+    b, t = 32, 64160
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, t)) * 0.1
+    from open_universe_tpu.ops.stft import stft_magnitude, dft_basis
+
+    @jax.jit
+    def g_stft_mag(x):
+        def loss(x):
+            s = jnp.zeros(())
+            for n_fft, hop, win in RESOLUTIONS:
+                p = (n_fft - hop) // 2
+                w = jnp.pad(x, ((0, 0), (p, p)), mode="reflect")
+                mag = stft_magnitude(w, n_fft, hop, win_length=win,
+                                     center=False, dtype=jnp.bfloat16)
+                s = s + mag.sum()
+            return s
+        return jax.grad(loss)(x).astype(jnp.float32).sum()
+
+    @jax.jit
+    def g_conv_stft(x):
+        def loss(x):
+            s = jnp.zeros(())
+            for n_fft, hop, win in RESOLUTIONS:
+                p = (n_fft - hop) // 2
+                w = jnp.pad(x, ((0, 0), (p, p)), mode="reflect")
+                basis = jnp.asarray(dft_basis(n_fft, win), jnp.bfloat16)
+                kernel = basis[:, None, :]  # (n_fft, 1, 2F)
+                z = jax.lax.conv_general_dilated(
+                    w[..., None].astype(jnp.bfloat16), kernel,
+                    window_strides=(hop,), padding=[(0, 0)],
+                    dimension_numbers=("NWC", "WIO", "NWC"))
+                f = n_fft // 2 + 1
+                re = z[..., :f].astype(jnp.float32)
+                im = z[..., f:].astype(jnp.float32)
+                s = s + jnp.sqrt(re * re + im * im + 1e-12).sum()
+            return s
+        return jax.grad(loss)(x).astype(jnp.float32).sum()
+
+    @jax.jit
+    def g_rfft(x):
+        def loss(x):
+            s = jnp.zeros(())
+            for n_fft, hop, win in RESOLUTIONS:
+                p = (n_fft - hop) // 2
+                w = jnp.pad(x, ((0, 0), (p, p)), mode="reflect")
+                spec = stft_fn(w, n_fft, hop, win_length=win, center=False)
+                s = s + jnp.sqrt(spec.real**2 + spec.imag**2 + 1e-12).sum()
+            return s
+        return jax.grad(loss)(x).astype(jnp.float32).sum()
+
+    for name, fn in [("grad stft_magnitude", g_stft_mag),
+                     ("grad conv-stft", g_conv_stft),
+                     ("grad rfft stft", g_rfft)]:
+        dt_s = timed(fn, x)
+        print(f"{name:22s}: {dt_s*1e3:8.1f} ms", flush=True)
+
+
+if __name__ == "__main__" and "grad" in __import__("sys").argv:
+    main_grad()

@@ -246,10 +246,54 @@ def main():
             return acc
         return jax.jit(fn)
 
+    # bisect INSIDE the downstream (generator-loss) grad: which term costs
+    def _down(which):
+        cfg = trainer.cfg
+        mdl = trainer.model
+
+        def fn(state, mix, tgt, key):
+            (mx, tg), *_ = mdl.normalize_batch((mix, tgt))
+            mel_t = mdl.compute_mel_spec(tg)
+            sigma = jnp.full((mx.shape[0],), 0.1)
+
+            def body(c, i):
+                y_est = mx * (1 + 1e-6 * c)
+                score = tg * (1 + 1e-6 * c)
+
+                def down(score, y_est):
+                    l = jnp.zeros(())
+                    if "score" in which:
+                        l += jnp.mean((sigma[:, None, None] * score
+                                       + tg) ** 2)
+                    if "mel" in which:
+                        l += 45.0 * jnp.mean(
+                            jnp.abs(mdl.compute_mel_spec(y_est) - mel_t))
+                    if "mpd" in which:
+                        rf, gf, fr, fg = trainer.mpd.apply(
+                            {"params": state.disc_params["mpd"]}, tg, y_est,
+                            paired=False)
+                        l += feature_loss(fr, fg) + generator_loss(gf)[0]
+                    if "mrd" in which:
+                        rs, gs, fr2, fg2 = trainer.mrd.apply(
+                            {"params": state.disc_params["mrd"]}, tg, y_est,
+                            paired=False)
+                        l += feature_loss(fr2, fg2) + generator_loss(gs)[0]
+                    return l
+
+                lg, (ds, dy) = jax.value_and_grad(down, argnums=(0, 1))(
+                    score, y_est)
+                return c + lg + ds.astype(jnp.float32).sum() + dy.astype(
+                    jnp.float32).sum(), None
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n_inner))
+            return acc
+        return jax.jit(fn)
+
     variants = {"gen": [("gen fwd", gen_fwd), ("gen fwd+bwd", gen_fwd_bwd)],
                 "stages": [(f"stage:{s}", _stage(s)) for s in
                            ("vjpfwd", "discgrad", "discopt", "downgrad",
                             "pullback", "genopt")],
+                "down": [(f"down:{w}", _down(w)) for w in
+                         ("score+mel", "mpd", "mrd")],
                 "parts": [("cond only", cond_only),
                           ("cond + N score", score_only)],
                 "disc": [("disc fwd (real+fake)", disc_fwd),

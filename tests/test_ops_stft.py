@@ -135,3 +135,35 @@ def test_stft_magnitude_matmul_matches_fft(n_fft, hop, win):
                                     center=False, dtype=jnp.bfloat16)
     err = np.abs(np.asarray(mag16) - np.asarray(ref))
     assert float(np.median(err / (np.asarray(ref) + 1.0))) < 0.05
+
+
+def test_stft_magnitude_custom_vjp_grad():
+    """The custom backward (matmul + static OLA) == autodiff of |stft|."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 2000)).astype(np.float32))
+    n_fft, hop, win = 512, 50, 240
+
+    def loss_ref(x):
+        s = ops_stft.stft(x, n_fft, hop, win_length=win, center=False)
+        m = jnp.sqrt(s.real**2 + s.imag**2 + 1e-12)
+        return jnp.sum(jnp.sin(m))  # nontrivial cotangent
+
+    def loss_new(x):
+        m = ops_stft.stft_magnitude(x, n_fft, hop, win_length=win,
+                                    center=False)
+        return jnp.sum(jnp.sin(m))
+
+    g_ref = jax.grad(loss_ref)(x)
+    g_new = jax.grad(loss_new)(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_overlap_add_static_matches_conv():
+    rng = np.random.default_rng(3)
+    fr = jnp.asarray(rng.standard_normal((2, 7, 96)).astype(np.float32))
+    for hop in (24, 40, 96):
+        ref = ops_stft.overlap_add(fr, hop)
+        new = ops_stft.overlap_add_static(fr, hop, ref.shape[1])
+        np.testing.assert_allclose(np.asarray(new), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
