@@ -40,17 +40,11 @@ def run_once():
     # recurrence for the bottlenecks (~2.5% end-to-end)
     set_compute_dtype("bfloat16")
     from open_universe_tpu.ops.gru import set_use_pallas_gru
+    from open_universe_tpu.runtime import host_init
     model = UniverseModel(UniverseConfig())
-    # init on host CPU: eager init over a remote-device tunnel dispatches
-    # hundreds of small ops at ~25 ms each (~4.5 min); CPU init + one
-    # pinned transfer is ~4x faster. Pallas GRU is enabled only after
-    # init so the init trace never lowers a TPU kernel for CPU.
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        params = model.init(jax.random.PRNGKey(0), example_len=1600,
-                            batch=1)
-    params = jax.device_put(params, jax.devices()[0])
-    set_use_pallas_gru(True)
+    params = host_init(model.init, jax.random.PRNGKey(0), example_len=1600,
+                       batch=1)
+    set_use_pallas_gru(True)  # after init: no TPU kernel in the CPU trace
 
     @jax.jit
     def bench_fn(params, mix, key):

@@ -31,14 +31,17 @@ __version__ = "0.1.0"
 import os as _os
 
 _cache = _os.environ.get("OUT_JAX_CACHE", "")
-if _cache != "0":
+# defer to any cache the app already configured (JAX env var wins)
+if _cache != "0" and not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     try:
         import jax as _jax
 
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            _cache or _os.path.join(_os.path.dirname(__file__), "..",
-                                    ".jax_cache"))
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if not _jax.config.jax_compilation_cache_dir:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _cache or _os.path.join(_os.path.dirname(__file__), "..",
+                                        ".jax_cache"))
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                               1.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass

@@ -15,6 +15,29 @@ from .models.universe.model import (
 from .training import GanTrainConfig, GanTrainer, MdnTrainConfig, MdnTrainer
 
 
+def host_init(init_fn, *args, **kwargs):
+    """Run ``init_fn`` on host CPU and pin the result to the accelerator.
+
+    On remote-tunnel TPUs, eager init dispatches hundreds of small ops at
+    ~25 ms each (~minutes); CPU init + ONE pinned transfer is ~4x faster.
+    The explicit device target matters: ``jax.device_put`` with no target
+    leaves a CPU-committed pytree on CPU, so every jit call would re-ship
+    the state (and donation could not alias). Call BEFORE enabling the
+    Pallas GRU so the init trace never lowers a TPU kernel for CPU."""
+    import jax
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            out = init_fn(*args, **kwargs)
+    else:
+        out = init_fn(*args, **kwargs)
+    return jax.device_put(out, jax.devices()[0])
+
+
 def build_model(model_cfg: dict) -> UniverseModel:
     m = dict(model_cfg)
     diff = DiffusionConfig(**m.pop("diffusion", {}))

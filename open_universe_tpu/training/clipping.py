@@ -42,6 +42,45 @@ def clip_by_global_norm_subtrees(grads: Dict[str, Any],
     return out, norms
 
 
+def clip_subtrees_transform(max_norms: Dict[str, float]):
+    """Optax transform: per-subtree global-norm clip inside the optimizer.
+
+    Placing the clip in the transformation chain (instead of on raw
+    per-micro-batch grads) keeps the standard clip(mean(g)) semantics when
+    the chain is wrapped in optax.MultiSteps for gradient accumulation."""
+    import optax
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(grads, state, params=None):
+        del params
+        out = dict(grads)
+        for name, mn in max_norms.items():
+            if name in out and mn is not None:
+                out[name], _ = clip_by_global_norm(out[name], mn)
+        return out, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def clip_global_transform(max_norm: float):
+    """Optax transform: whole-tree global-norm clip (see above)."""
+    import optax
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(grads, state, params=None):
+        del params
+        clipped, _ = clip_by_global_norm(grads, max_norm)
+        return clipped, state
+
+    return optax.GradientTransformation(init, update)
+
+
 @struct.dataclass
 class AutoClipState:
     history: jnp.ndarray  # (capacity,) grad norms, inf-padded

@@ -34,7 +34,11 @@ from ..models.bigvgan.discriminators import (
     MultiResolutionDiscriminator,
 )
 from ..models.universe.model import UniverseModel
-from .clipping import clip_by_global_norm, global_norm
+from .clipping import (
+    clip_by_global_norm,
+    clip_subtrees_transform,
+    global_norm,
+)
 from .ema import EmaState, ema_init, ema_update
 from .schedules import linear_warmup_cosine_annealing
 
@@ -115,12 +119,18 @@ class GanTrainer:
         # schedulers twice per batch, so scale the count by 2
         self._sched = lambda count: sched(2 * count)
 
+        # clipping lives INSIDE the chains so that under gradient
+        # accumulation the applied update is clip(mean(g)), not mean(clip(g))
         self.gen_tx = optax.chain(
+            clip_subtrees_transform({"score": cfg.grad_clip_score,
+                                     "cond": cfg.grad_clip_cond}),
             optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]),
             optax.add_decayed_weights(cfg.weight_decay, mask=_wd_mask),
             optax.scale_by_learning_rate(self._sched),
         )
         self.disc_tx = optax.chain(
+            clip_subtrees_transform({"mpd": cfg.grad_clip_mpd,
+                                     "mrd": cfg.grad_clip_mrd}),
             optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]),
             optax.add_decayed_weights(cfg.weight_decay),  # torch AdamW default
             optax.scale_by_learning_rate(self._sched),
@@ -129,6 +139,10 @@ class GanTrainer:
             k = cfg.accumulate_grad_batches
             self.gen_tx = optax.MultiSteps(self.gen_tx, k)
             self.disc_tx = optax.MultiSteps(self.disc_tx, k)
+
+    def _lr_metric(self, step):
+        """LR actually applied at this micro-step (MultiSteps-aware)."""
+        return self._sched(step // self.cfg.accumulate_grad_batches)
 
     # ----------------------------------------------------------------- init
     def init(self, key, example_len: int = 1600, batch: int = 1
@@ -213,10 +227,9 @@ class GanTrainer:
         (loss_disc, (loss_mpd, loss_mrd)), disc_grads = jax.value_and_grad(
             disc_loss_fn, has_aux=True)(state.disc_params)
 
-        disc_grads["mpd"], gn_mpd = clip_by_global_norm(
-            disc_grads["mpd"], cfg.grad_clip_mpd)
-        disc_grads["mrd"], gn_mrd = clip_by_global_norm(
-            disc_grads["mrd"], cfg.grad_clip_mrd)
+        # clipping happens inside disc_tx; norms here are logging-only
+        gn_mpd = global_norm(disc_grads["mpd"])
+        gn_mrd = global_norm(disc_grads["mrd"])
 
         disc_active = state.step >= cfg.disc_freeze_step
 
@@ -264,10 +277,9 @@ class GanTrainer:
         (loss_gen, gen_aux), (d_score, d_yest) = grad_fn(score, y_est)
         (gen_grads,) = gen_vjp((d_score, d_yest))
 
-        gen_grads["score"], gn_score = clip_by_global_norm(
-            gen_grads["score"], cfg.grad_clip_score)
-        gen_grads["cond"], gn_cond = clip_by_global_norm(
-            gen_grads["cond"], cfg.grad_clip_cond)
+        # clipping happens inside gen_tx; norms here are logging-only
+        gn_score = global_norm(gen_grads["score"])
+        gn_cond = global_norm(gen_grads["cond"])
 
         upd, new_gen_opt = self.gen_tx.update(gen_grads, state.gen_opt,
                                               state.gen_params)
@@ -290,7 +302,7 @@ class GanTrainer:
             "grad/cond": gn_cond,
             "grad/mpd": gn_mpd,
             "grad/mrd": gn_mrd,
-            "lr": self._sched(state.step),
+            "lr": self._lr_metric(state.step),
         }
 
         new_state = GanTrainState(

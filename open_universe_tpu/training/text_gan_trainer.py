@@ -22,7 +22,7 @@ from ..diffusion.sigma_sampling import sample_sigma
 from ..losses.gan import discriminator_loss, feature_loss, generator_loss
 from ..losses.guided_attention import coverage_loss, guided_attention_loss
 from ..models.universe.model_text import TextUniverseModel
-from .clipping import clip_by_global_norm
+from .clipping import global_norm
 from .ema import ema_update
 from .gan_trainer import GanTrainConfig, GanTrainer, GanTrainState
 
@@ -102,10 +102,9 @@ class TextGanTrainer(GanTrainer):
 
         (loss_disc, (loss_mpd, loss_mrd)), disc_grads = jax.value_and_grad(
             disc_loss_fn, has_aux=True)(state.disc_params)
-        disc_grads["mpd"], gn_mpd = clip_by_global_norm(disc_grads["mpd"],
-                                                        cfg.grad_clip_mpd)
-        disc_grads["mrd"], gn_mrd = clip_by_global_norm(disc_grads["mrd"],
-                                                        cfg.grad_clip_mrd)
+        # clipping happens inside disc_tx; norms here are logging-only
+        gn_mpd = global_norm(disc_grads["mpd"])
+        gn_mrd = global_norm(disc_grads["mrd"])
         disc_active = state.step >= cfg.disc_freeze_step
 
         def do_upd(_):
@@ -178,10 +177,9 @@ class TextGanTrainer(GanTrainer):
 
         gen_grads = jax.tree_util.tree_map_with_path(scale_text, gen_grads)
 
-        gen_grads["score"], gn_score = clip_by_global_norm(
-            gen_grads["score"], cfg.grad_clip_score)
-        gen_grads["cond"], gn_cond = clip_by_global_norm(
-            gen_grads["cond"], cfg.grad_clip_cond)
+        # clipping happens inside gen_tx; norms here are logging-only
+        gn_score = global_norm(gen_grads["score"])
+        gn_cond = global_norm(gen_grads["cond"])
         upd, new_gen_opt = self.gen_tx.update(gen_grads, state.gen_opt,
                                               state.gen_params)
         new_gen_params = optax.apply_updates(state.gen_params, upd)

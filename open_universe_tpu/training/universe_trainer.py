@@ -18,7 +18,7 @@ from flax import struct
 from ..diffusion.sigma_sampling import sample_sigma
 from ..losses.mdn import MixtureDensityNetworkLoss
 from ..models.universe.model import UniverseModel
-from .clipping import clip_by_global_norm
+from .clipping import clip_global_transform, global_norm
 from .ema import EmaState, ema_init, ema_update
 from .gan_trainer import _wd_mask
 from .schedules import linear_warmup_cosine_annealing
@@ -90,7 +90,10 @@ class MdnTrainer:
         sched = linear_warmup_cosine_annealing(
             cfg.lr, cfg.t_warmup, cfg.t_cosine, cfg.t_max, cfg.eta_min)
         self._sched = sched
+        # clip inside the chain: under accumulation the applied update is
+        # clip(mean(g)), not mean(clip(g))
         self.tx = optax.chain(
+            clip_global_transform(cfg.grad_clip),
             optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]),
             optax.add_decayed_weights(cfg.weight_decay, mask=_wd_mask),
             optax.scale_by_learning_rate(sched),
@@ -199,7 +202,7 @@ class MdnTrainer:
             loss_fn = jax.checkpoint(loss_fn)
         (loss, (l_score, l_signal, l_latent)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        grads, gnorm = clip_by_global_norm(grads, cfg.grad_clip)
+        gnorm = global_norm(grads)  # logging-only; clip is inside self.tx
         upd, new_opt = self.tx.update(grads, state.opt, state.params)
         new_params = optax.apply_updates(state.params, upd)
         new_ema = ema_update(state.ema, {"score": new_params["score"],
@@ -210,7 +213,8 @@ class MdnTrainer:
             "train/signal": l_signal,
             "train/latent": l_latent,
             "grad/norm": gnorm,
-            "lr": self._sched(state.step),
+            "lr": self._sched(state.step
+                  // self.cfg.accumulate_grad_batches),
         }
         return MdnTrainState(params=new_params, opt=new_opt, ema=new_ema,
                              step=state.step + 1), metrics

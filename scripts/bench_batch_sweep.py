@@ -15,10 +15,9 @@ def main():
     t = 64000
     n_iter = 2
     model = UniverseModel(UniverseConfig())
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        params = model.init(jax.random.PRNGKey(0), example_len=1600, batch=1)
-    params = jax.device_put(params, jax.devices()[0])
+    from open_universe_tpu.runtime import host_init
+    params = host_init(model.init, jax.random.PRNGKey(0), example_len=1600,
+                       batch=1)
     set_use_pallas_gru(True)
     key = jax.random.PRNGKey(2)
 

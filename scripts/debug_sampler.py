@@ -19,7 +19,10 @@ from open_universe_tpu.diffusion.schedule import sampler_coefficients
 sys.path.insert(0, os.path.dirname(__file__))
 from train_convergence import make_batch  # noqa: E402
 
-CACHE = "/tmp/tiny_mdn_state.pkl"
+import os
+# repo-local cache (not /tmp: world-writable + pickle.load)
+CACHE = os.path.join(os.path.dirname(__file__), "..",
+                     ".debug_sampler_state.pkl")
 
 
 def main():

@@ -40,13 +40,9 @@ def main():
     if "--accum" in sys.argv:
         tcfg["accumulate_grad_batches"] = 2
     trainer = build_trainer(model, tcfg)
-    # init on host CPU: eager init over the device tunnel pays ~25 ms per
-    # dispatched op and takes minutes
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        state = trainer.init(jax.random.PRNGKey(0), example_len=1600,
-                             batch=1)
-    state = jax.device_put(state, jax.devices()[0])
+    from open_universe_tpu.runtime import host_init
+    state = host_init(trainer.init, jax.random.PRNGKey(0), example_len=1600,
+                      batch=1)
     if "--pallas-gru" in sys.argv:
         from open_universe_tpu.ops.gru import set_use_pallas_gru
         set_use_pallas_gru(True)

@@ -42,13 +42,13 @@ def main():
     trainer = build_trainer(model, {"kind": "gan", "remat": True,
                                     "t_warmup": 50, "t_cosine": 10000,
                                     "t_max": 20000})
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        state = trainer.init(jax.random.PRNGKey(0), example_len=1600,
-                             batch=1)
-    state = jax.device_put(state, jax.devices()[0])
+    from open_universe_tpu.runtime import host_init
+    state = host_init(trainer.init, jax.random.PRNGKey(0), example_len=1600,
+                      batch=1)
     step_fn = jax.jit(trainer.train_step, donate_argnums=(0,))
 
+    if args.steps < 6:
+        raise SystemExit("--steps must be >= 6 (timing starts at step 5)")
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)
     hist = []
