@@ -17,7 +17,9 @@ def main(argv=None):
     parser.add_argument("input", help="input wav file or folder")
     parser.add_argument("output", help="output wav file or folder")
     parser.add_argument("--ckpt", required=True, help="checkpoint dir")
-    parser.add_argument("--step", type=int, default=None)
+    parser.add_argument("--step", default=None,
+                        help="checkpoint step number, or 'best' for the "
+                             "best-val/score checkpoint (default: latest)")
     parser.add_argument("--no-ema", action="store_true")
     parser.add_argument("--seed", type=int, default=682479040)
     parser.add_argument("--text-dir", default=None,
@@ -39,8 +41,11 @@ def main(argv=None):
     from ..data.wavio import read_wav, write_wav
     from ..training.checkpoint import load_model_for_inference
 
+    step = args.step
+    if step is not None and step != "best":
+        step = int(step)
     model, params, cfg = load_model_for_inference(
-        args.ckpt, step=args.step, use_ema=not args.no_ema)
+        args.ckpt, step=step, use_ema=not args.no_ema)
     fs_model = cfg["model"].get("fs", 16000)
     kwargs = collect_enhance_kwargs(args, UniverseModel.enhance)
 

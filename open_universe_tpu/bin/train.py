@@ -38,6 +38,7 @@ def main(argv=None):
     from ..training.checkpoint import (
         latest_step,
         restore_checkpoint,
+        save_best_checkpoint,
         save_checkpoint,
     )
     from ..training.cloud_sync import CloudBackup
@@ -152,7 +153,14 @@ def main(argv=None):
                 log(step, m)
 
             if step % run.get("val_every", 5000) == 0 and "val" in dm.batchers:
-                validate(state, trainer, dm, eval_metrics, run, key, step, log)
+                state, vmetrics = validate(state, trainer, dm, eval_metrics,
+                                           run, key, step, log)
+                # keep the single best checkpoint by val/score (reference
+                # ModelCheckpoint save_top_k=1, train.py:141-150)
+                score = vmetrics.get("val/score")
+                if score is not None and save_best_checkpoint(
+                        ckpt_dir, step, jax.device_get(state), score):
+                    backup.trigger()
 
             if step % run.get("ckpt_every", 5000) == 0:
                 save_checkpoint(ckpt_dir, step, jax.device_get(state),
@@ -178,6 +186,7 @@ def validate(state, trainer, dm, eval_metrics, run, key, step, log):
     # (the reference stalls the device on these, universe.py:706-720)
     async_eval = AsyncEvalMetrics(eval_metrics)
     vals = {}
+    bin_losses = []
     n_enh = 0
     n_samples_saved = 0
     num_save = run.get("num_val_samples", 0)
@@ -186,8 +195,12 @@ def validate(state, trainer, dm, eval_metrics, run, key, step, log):
         key, k1, k2 = jax.random.split(key, 3)
         batch = (jnp.asarray(noisy), jnp.asarray(clean))
         if hasattr(trainer, "val_score_losses"):
-            losses, tb = trainer.val_score_losses(
-                state, batch, k1, n_bins=run.get("n_bins", 5))
+            n_bins = run.get("n_bins", 5)
+            if getattr(trainer.cfg, "time_sampling", "") == "adaptive":
+                n_bins = trainer.cfg.adaptive_n_bins
+            losses, tb = trainer.val_score_losses(state, batch, k1,
+                                                  n_bins=n_bins)
+            bin_losses.append(np.asarray(losses))
             vals.setdefault("val/score", []).append(float(losses.mean()))
         if n_enh < run.get("max_enh_batches", 4):
             n_enh += 1
@@ -224,7 +237,14 @@ def validate(state, trainer, dm, eval_metrics, run, key, step, log):
         for k, v in m.items():
             vals.setdefault(f"val/{k}", []).append(v)
     async_eval.close()
-    log(step, {k: float(np.mean(v)) for k, v in vals.items()}, prefix="val ")
+    vmetrics = {k: float(np.mean(v)) for k, v in vals.items()}
+    log(step, vmetrics, prefix="val ")
+    # adaptive sigma sampling: importance-sample training time from the
+    # mean per-bin val score losses (reference universe.py:630-638)
+    if bin_losses and hasattr(trainer, "update_adaptive_sampling"):
+        state = trainer.update_adaptive_sampling(
+            state, np.stack(bin_losses).mean(0))
+    return state, vmetrics
 
 
 if __name__ == "__main__":

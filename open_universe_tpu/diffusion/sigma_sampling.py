@@ -16,6 +16,18 @@ from ..utils.random import center_truncated_normal
 from .schedule import DiffusionConfig, get_std_dev
 
 
+def adaptive_pr_cum(bin_losses, floor: float = 5e-4):
+    """Cumulative sampling distribution from per-bin val score losses.
+
+    Parity: reference validation_step (universe.py:630-638): clamp the
+    losses at ``floor``, normalized cumsum, last bound 1 + 1e-5 so the
+    top edge is included by the searchsorted in sample_sigma."""
+    v = jnp.maximum(jnp.asarray(bin_losses, jnp.float32), floor)
+    pr = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(v)])
+    pr = pr / pr[-1]
+    return pr.at[-1].set(1.0 + 1e-5)
+
+
 def sample_sigma(key, batch_size: int, cfg: DiffusionConfig,
                  time_sampling: str = "time_uniform",
                  t_min: float = 0.0, t_max: float = 1.0,

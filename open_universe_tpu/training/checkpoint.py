@@ -42,6 +42,40 @@ def save_checkpoint(ckpt_dir, step: int, state, config: Optional[dict] = None,
         shutil.rmtree(ckpt_dir / f"step_{s}", ignore_errors=True)
 
 
+def save_best_checkpoint(ckpt_dir, step: int, state, score: float,
+                         minimize: bool = True) -> bool:
+    """Keep the single best checkpoint by a monitored score.
+
+    Parity: reference ModelCheckpoint(save_top_k=1) monitoring
+    cfg.model.validation.main_loss (val/score), train.py:141-150.
+    Returns True when the checkpoint was saved (score improved)."""
+    ckpt_dir = Path(ckpt_dir).absolute()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    best_file = ckpt_dir / "best.json"
+    if best_file.exists():
+        with open(best_file) as f:
+            prev = json.load(f)["score"]
+        if (score >= prev) if minimize else (score <= prev):
+            return False
+    path = ckpt_dir / "best"
+    if path.exists():
+        shutil.rmtree(path)
+    c = _ckptr()
+    c.save(str(path), state)
+    c.wait_until_finished()
+    with open(best_file, "w") as f:
+        json.dump({"step": step, "score": float(score)}, f)
+    return True
+
+
+def best_step(ckpt_dir) -> Optional[int]:
+    best = Path(ckpt_dir) / "best.json"
+    if not best.exists():
+        return None
+    with open(best) as f:
+        return json.load(f)["step"]
+
+
 def latest_step(ckpt_dir) -> Optional[int]:
     last = Path(ckpt_dir) / "last.json"
     if not last.exists():
@@ -50,16 +84,26 @@ def latest_step(ckpt_dir) -> Optional[int]:
         return json.load(f)["step"]
 
 
-def restore_checkpoint(ckpt_dir, state_template, step: Optional[int] = None):
-    """Restore into the structure of state_template. Returns (state, step)."""
+def restore_checkpoint(ckpt_dir, state_template, step=None):
+    """Restore into the structure of state_template. Returns (state, step).
+
+    ``step`` may be an int, None (latest), or "best" (the best-val/score
+    checkpoint saved by save_best_checkpoint)."""
     ckpt_dir = Path(ckpt_dir).absolute()
-    if step is None:
-        step = latest_step(ckpt_dir)
+    if step == "best":
+        bstep = best_step(ckpt_dir)
+        if bstep is None:
+            raise FileNotFoundError(f"no best checkpoint in {ckpt_dir}")
+        path, step = ckpt_dir / "best", bstep
+    else:
         if step is None:
-            raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
+            step = latest_step(ckpt_dir)
+            if step is None:
+                raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
+        path = ckpt_dir / f"step_{step}"
     target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                     state_template)
-    state = _ckptr().restore(str(ckpt_dir / f"step_{step}"), target=target)
+    state = _ckptr().restore(str(path), target=target)
     return state, step
 
 

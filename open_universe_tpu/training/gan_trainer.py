@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..diffusion.sigma_sampling import sample_sigma
+from ..diffusion.sigma_sampling import adaptive_pr_cum, sample_sigma
 from ..losses.gan import discriminator_loss, feature_loss, generator_loss
 from ..models.bigvgan.discriminators import (
     MultiPeriodDiscriminator,
@@ -67,6 +67,7 @@ class GanTrainConfig:
     eta_min: float = 1.6e-6
     # training (config/model/default.yaml:66-70)
     time_sampling: str = "time_normal_0.95"
+    adaptive_n_bins: int = 5  # bins for time_sampling="adaptive"
     dynamic_mixing: bool = False
     ema_decay: float = 0.999
     # gradient accumulation (reference accumulate_grad_batches,
@@ -86,6 +87,9 @@ class GanTrainState:
     disc_opt: Any
     ema: EmaState
     step: jnp.ndarray
+    # cumulative per-bin sampling distribution for time_sampling="adaptive"
+    # (reference pr_cum, universe.py:630-638); None for other strategies
+    sigma_pr_cum: Any = None
 
 
 def _wd_mask(params):
@@ -155,6 +159,10 @@ class GanTrainer:
             "mrd": self.mrd.init(kr, x, x)["params"],
         }
         ema_tree = {k: gen_params[k] for k in gen_params}
+        pr_cum = None
+        if self.cfg.time_sampling == "adaptive":
+            # uniform until the first validation updates it
+            pr_cum = adaptive_pr_cum(jnp.ones((self.cfg.adaptive_n_bins,)))
         return GanTrainState(
             gen_params=gen_params,
             disc_params=disc_params,
@@ -162,7 +170,16 @@ class GanTrainer:
             disc_opt=self.disc_tx.init(disc_params),
             ema=ema_init(ema_tree, self.cfg.ema_decay),
             step=jnp.zeros((), jnp.int32),
+            sigma_pr_cum=pr_cum,
         )
+
+    def update_adaptive_sampling(self, state: GanTrainState, bin_losses
+                                 ) -> GanTrainState:
+        """Refresh the adaptive-sigma distribution from per-bin val losses
+        (call after val_score_losses; reference universe.py:630-638)."""
+        if self.cfg.time_sampling != "adaptive":
+            return state
+        return state.replace(sigma_pr_cum=adaptive_pr_cum(bin_losses))
 
     # ----------------------------------------------------------- train step
     def train_step(self, state: GanTrainState, batch, key
@@ -191,8 +208,10 @@ class GanTrainer:
         mix, n_frames = model.apply_transform(mix)
         target, _ = model.apply_transform(target)
 
-        sigma, _ = sample_sigma(k_sigma, mix.shape[0], model.cfg.diffusion,
-                                cfg.time_sampling)
+        sigma, _ = sample_sigma(
+            k_sigma, mix.shape[0], model.cfg.diffusion, cfg.time_sampling,
+            adaptive_pr_cum=state.sigma_pr_cum,
+            adaptive_bins=jnp.linspace(0.0, 1.0, cfg.adaptive_n_bins + 1))
         z = jax.random.normal(k_z, target.shape, target.dtype)
         x_t = target + sigma[:, None, None] * z
 
@@ -312,6 +331,7 @@ class GanTrainer:
             disc_opt=new_disc_opt,
             ema=new_ema,
             step=state.step + 1,
+            sigma_pr_cum=state.sigma_pr_cum,
         )
         return new_state, metrics
 

@@ -71,8 +71,10 @@ class TextGanTrainer(GanTrainer):
 
         (mix, target, target_original), *_ = model.normalize_batch(
             (mix, target, target_original))
-        sigma, _ = sample_sigma(k_sigma, mix.shape[0], model.cfg.diffusion,
-                                cfg.time_sampling)
+        sigma, _ = sample_sigma(
+            k_sigma, mix.shape[0], model.cfg.diffusion, cfg.time_sampling,
+            adaptive_pr_cum=state.sigma_pr_cum,
+            adaptive_bins=jnp.linspace(0.0, 1.0, cfg.adaptive_n_bins + 1))
         z = jax.random.normal(k_z, target.shape, target.dtype)
         x_t = target + sigma[:, None, None] * z
 
@@ -195,4 +197,5 @@ class TextGanTrainer(GanTrainer):
         return GanTrainState(
             gen_params=new_gen_params, disc_params=new_disc_params,
             gen_opt=new_gen_opt, disc_opt=new_disc_opt, ema=new_ema,
-            step=state.step + 1), metrics
+            step=state.step + 1,
+            sigma_pr_cum=state.sigma_pr_cum), metrics

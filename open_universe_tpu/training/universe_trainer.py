@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..diffusion.sigma_sampling import sample_sigma
+from ..diffusion.sigma_sampling import adaptive_pr_cum, sample_sigma
 from ..losses.mdn import MixtureDensityNetworkLoss
 from ..models.universe.model import UniverseModel
 from .clipping import clip_global_transform, global_norm
@@ -44,6 +44,7 @@ class MdnTrainConfig:
     dynamic_mixing: bool = False
     ema_decay: float = 0.999
     with_noise_target: bool = False
+    adaptive_n_bins: int = 5  # bins for time_sampling="adaptive"
     accumulate_grad_batches: int = 1  # optimizer applies every k micro-steps
     remat: bool = False  # recompute the forward in backward (HBM for FLOPs)
 
@@ -54,6 +55,7 @@ class MdnTrainState:
     opt: Any
     ema: EmaState        # over {"score","cond"} only
     step: jnp.ndarray
+    sigma_pr_cum: Any = None  # adaptive time-sampling distribution
 
 
 class MdnTrainer:
@@ -119,13 +121,25 @@ class MdnTrainer:
                                           self.model.cfg.n_mels)))["params"],
         }
         ema_tree = {"score": params["score"], "cond": params["cond"]}
+        pr_cum = None
+        if self.cfg.time_sampling == "adaptive":
+            pr_cum = adaptive_pr_cum(jnp.ones((self.cfg.adaptive_n_bins,)))
         return MdnTrainState(params=params, opt=self.tx.init(params),
                              ema=ema_init(ema_tree, self.cfg.ema_decay),
-                             step=jnp.zeros((), jnp.int32))
+                             step=jnp.zeros((), jnp.int32),
+                             sigma_pr_cum=pr_cum)
+
+    def update_adaptive_sampling(self, state: MdnTrainState, bin_losses
+                                 ) -> MdnTrainState:
+        """Refresh the adaptive-sigma distribution from per-bin val losses
+        (reference universe.py:630-638)."""
+        if self.cfg.time_sampling != "adaptive":
+            return state
+        return state.replace(sigma_pr_cum=adaptive_pr_cum(bin_losses))
 
     def compute_losses(self, params, mix, target, key,
                        time_sampling=None, t_min=0.0, t_max=1.0,
-                       train: bool = True):
+                       train: bool = True, sigma_pr_cum=None):
         """Score + MDN losses on a *normalized* (mix, target) pair."""
         cfg = self.cfg
         model = self.model
@@ -139,8 +153,10 @@ class MdnTrainer:
         mix, _ = model.apply_transform(mix)
         target, _ = model.apply_transform(target)
 
-        sigma, _ = sample_sigma(ks, mix.shape[0], model.cfg.diffusion, ts,
-                                t_min=t_min, t_max=t_max)
+        sigma, _ = sample_sigma(
+            ks, mix.shape[0], model.cfg.diffusion, ts, t_min=t_min,
+            t_max=t_max, adaptive_pr_cum=sigma_pr_cum,
+            adaptive_bins=jnp.linspace(0.0, 1.0, cfg.adaptive_n_bins + 1))
         z = jax.random.normal(kz, target.shape, target.dtype)
         x_t = target + sigma[:, None, None] * z
 
@@ -196,7 +212,8 @@ class MdnTrainer:
         (mix, target), *_ = self.model.normalize_batch((mix, target))
 
         def loss_fn(params):
-            return self.compute_losses(params, mix, target, k_loss)
+            return self.compute_losses(params, mix, target, k_loss,
+                                       sigma_pr_cum=state.sigma_pr_cum)
 
         if cfg.remat:
             loss_fn = jax.checkpoint(loss_fn)
@@ -217,4 +234,5 @@ class MdnTrainer:
                   // self.cfg.accumulate_grad_batches),
         }
         return MdnTrainState(params=new_params, opt=new_opt, ema=new_ema,
-                             step=state.step + 1), metrics
+                             step=state.step + 1,
+                             sigma_pr_cum=state.sigma_pr_cum), metrics

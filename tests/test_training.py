@@ -189,3 +189,73 @@ def test_gan_val_score_losses(gan_setup):
                                             jax.random.PRNGKey(9), n_bins=3)
     assert losses.shape == (3,)
     assert bool(jnp.all(jnp.isfinite(losses)))
+
+
+def test_adaptive_sigma_sampling_feedback():
+    """time_sampling='adaptive': pr_cum carried in state, updated from
+    per-bin val losses, and the sampler concentrates where losses are
+    high (reference adapt_time_sampling, universe.py:391-412, 630-638)."""
+    from open_universe_tpu.diffusion.sigma_sampling import (
+        adaptive_pr_cum,
+        sample_sigma,
+    )
+
+    # reference update semantics: clamp, normalized cumsum, last 1+1e-5
+    pr = adaptive_pr_cum(jnp.array([1.0, 1.0, 2.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(pr[:-1]),
+                               [0.0, 0.25, 0.5, 0.99987],
+                               rtol=1e-3, atol=1e-4)
+    assert float(pr[-1]) > 1.0
+
+    # heavy mass in bin 2 of 4 -> times mostly in [0.5, 0.75)
+    pr_skew = adaptive_pr_cum(jnp.array([1e-9, 1e-9, 1.0, 1e-9]))
+    bins = jnp.linspace(0.0, 1.0, 5)
+    model = UniverseModel(TINY_MODEL)
+    _, time = sample_sigma(jax.random.PRNGKey(0), 512,
+                           model.cfg.diffusion, "adaptive",
+                           adaptive_pr_cum=pr_skew, adaptive_bins=bins)
+    frac = float(jnp.mean((time >= 0.5) & (time < 0.75)))
+    assert frac > 0.98, frac
+
+    # trainer carries + updates the distribution
+    trainer = GanTrainer(model, GanTrainConfig(**{
+        **TINY_GAN.__dict__, "time_sampling": "adaptive",
+        "adaptive_n_bins": 4}))
+    state = trainer.init(jax.random.PRNGKey(0), example_len=T, batch=2)
+    assert state.sigma_pr_cum is not None
+    mix, clean = _batch(jax.random.PRNGKey(20))
+    state2, metrics = jax.jit(trainer.train_step)(
+        state, (mix, clean), jax.random.PRNGKey(21))
+    assert bool(jnp.isfinite(metrics["train/loss_gen"]))
+    state3 = trainer.update_adaptive_sampling(
+        state2, np.array([0.1, 0.9, 0.2, 0.05]))
+    assert float(jnp.abs(state3.sigma_pr_cum
+                         - state2.sigma_pr_cum).max()) > 0
+    # next step runs with the refreshed distribution (same jit cache)
+    state4, m4 = jax.jit(trainer.train_step)(
+        state3, (mix, clean), jax.random.PRNGKey(22))
+    assert bool(jnp.isfinite(m4["train/loss_gen"]))
+
+
+def test_best_checkpoint_roundtrip(gan_setup, tmp_path):
+    """save_best_checkpoint keeps only improvements; restore(step='best')
+    loads it (reference ModelCheckpoint save_top_k=1 semantics)."""
+    from open_universe_tpu.training.checkpoint import (
+        restore_checkpoint,
+        save_best_checkpoint,
+    )
+
+    trainer, state = gan_setup
+    host = jax.device_get(state)
+    assert save_best_checkpoint(tmp_path, 10, host, 0.5)
+    assert not save_best_checkpoint(tmp_path, 20, host, 0.7)  # worse
+    mix, clean = _batch(jax.random.PRNGKey(30))
+    s2, _ = jax.jit(trainer.train_step)(state, (mix, clean),
+                                        jax.random.PRNGKey(31))
+    assert save_best_checkpoint(tmp_path, 30, jax.device_get(s2), 0.2)
+    restored, step = restore_checkpoint(tmp_path, state, step="best")
+    assert step == 30
+    a = jax.tree_util.tree_leaves(restored.gen_params)
+    b = jax.tree_util.tree_leaves(s2.gen_params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
