@@ -21,6 +21,11 @@ def main(argv=None):
                         help="checkpoint step number, or 'best' for the "
                              "best-val/score checkpoint (default: latest)")
     parser.add_argument("--no-ema", action="store_true")
+    parser.add_argument("--compute-dtype", default=None,
+                        help="matmul/conv operand dtype (default: bfloat16 "
+                             "on accelerators, float32 on CPU)")
+    parser.add_argument("--pallas-gru", action="store_true",
+                        help="fused Pallas GRU recurrence (TPU serving)")
     parser.add_argument("--seed", type=int, default=682479040)
     parser.add_argument("--text-dir", default=None,
                         help="folder of <stem>.txt transcripts for "
@@ -40,6 +45,19 @@ def main(argv=None):
 
     from ..data.wavio import read_wav, write_wav
     from ..training.checkpoint import load_model_for_inference
+
+    import jax
+
+    # serving precision (see PERF.md: bf16 output correlates 1.000000
+    # with f32 and is the production path on TPU)
+    on_accel = jax.default_backend() not in ("cpu",)
+    dtype = args.compute_dtype or ("bfloat16" if on_accel else "float32")
+    if dtype != "float32":
+        from ..ops.conv import set_compute_dtype
+        set_compute_dtype(dtype)
+    if args.pallas_gru and on_accel:
+        from ..ops.gru import set_use_pallas_gru
+        set_use_pallas_gru(True)
 
     step = args.step
     if step is not None and step != "best":
