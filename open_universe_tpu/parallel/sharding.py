@@ -27,16 +27,41 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(put, batch)
 
 
-def make_parallel_train_step(trainer, mesh: Mesh):
-    """jit a trainer.train_step with state replicated and batch sharded.
+def param_sharding_rules(mesh: Mesh, tree, model_axis: str = "model",
+                         min_size: int = 1024):
+    """NamedSharding tree for tensor-parallel parameter sharding.
 
+    Rule: shard the LAST axis (output channels / packed GRU gates / bias
+    width) of every large-enough weight over ``model_axis``; replicate
+    everything else. GSPMD propagates the activation shardings and inserts
+    the collectives — the per-layer pattern is the classic Megatron-style
+    column split, expressed declaratively. At reference scale (~100M
+    params) weights fit one chip and ``make_parallel_train_step`` defaults
+    to replication; this path is for wider variants."""
+    m_size = mesh.shape[model_axis]
+
+    def rule(x):
+        if (hasattr(x, "ndim") and x.ndim >= 1 and x.size >= min_size
+                and x.shape[-1] % m_size == 0
+                and x.shape[-1] >= m_size * 8):
+            return NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1)), model_axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, tree)
+
+
+def make_parallel_train_step(trainer, mesh: Mesh,
+                             model_sharding: bool = False,
+                             shard_min_size: int = 1024):
+    """jit a trainer.train_step with batch sharded over ``data``.
+
+    Parameters are replicated by default (reference-scale DDP equivalent);
+    with ``model_sharding=True`` (mesh must have a ``model`` axis) large
+    weights are tensor-sharded per param_sharding_rules.
     Works for GanTrainer and MdnTrainer (any (state, batch, key) step).
     """
     repl = replicated(mesh)
-    bsh = NamedSharding(mesh, P("data"))
-
-    def spec_for_batch(batch):
-        return jax.tree_util.tree_map(lambda _: bsh, batch)
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, key):
@@ -44,7 +69,12 @@ def make_parallel_train_step(trainer, mesh: Mesh):
 
     def run(state, batch, key):
         batch = shard_batch(mesh, batch)
-        state = jax.device_put(state, repl)
+        if model_sharding and "model" in mesh.axis_names:
+            state = jax.device_put(
+                state, param_sharding_rules(mesh, state,
+                                            min_size=shard_min_size))
+        else:
+            state = jax.device_put(state, repl)
         key = jax.device_put(key, repl)
         return step(state, batch, key)
 

@@ -18,9 +18,17 @@ class MetricsLogger:
         if use_wandb:
             try:
                 import wandb
+
+                # run-id reattachment across restarts (reference recovers
+                # the W&B id from the run dir on resume, train.py:95-127)
+                id_file = self.log_dir / "wandb_id.txt"
+                run_id = (id_file.read_text().strip()
+                          if id_file.exists() else None)
                 self._wandb = wandb.init(project=project or "open-universe-tpu",
                                          name=run_name, config=config,
-                                         dir=str(self.log_dir), resume="allow")
+                                         dir=str(self.log_dir), id=run_id,
+                                         resume="allow")
+                id_file.write_text(self._wandb.id)
             except Exception:
                 self._wandb = None
 

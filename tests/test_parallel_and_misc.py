@@ -83,3 +83,62 @@ def test_bench_scaling_harness(capsys):
     assert recs[0]["devices"] == 1 and recs[1]["devices"] == 2
     assert recs[0]["efficiency_vs_1dev"] == 1.0
     assert recs[1]["audio_s_per_s"] > 0
+
+
+def test_tensor_sharded_train_step():
+    """dp x tp mesh: large weights column-sharded over `model`, step runs,
+    and the result matches the replicated (dp-only) step numerically."""
+    from open_universe_tpu.diffusion import DiffusionConfig
+    from open_universe_tpu.models.universe.model import (
+        UniverseConfig,
+        UniverseModel,
+    )
+    from open_universe_tpu.parallel import (
+        default_mesh,
+        make_mesh,
+        make_parallel_train_step,
+        param_sharding_rules,
+    )
+    from open_universe_tpu.training import GanTrainConfig, GanTrainer
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+
+    t = 160
+    model = UniverseModel(UniverseConfig(
+        fs=800, rate_factors=(2, 4), n_channels=4, noise_cond_dim=32,
+        n_rff=8, n_mels=8, diffusion=DiffusionConfig(n_steps=4)))
+    trainer = GanTrainer(model, GanTrainConfig(
+        mpd_periods=(2, 3), mrd_resolutions=((64, 16, 32),),
+        t_warmup=10, t_cosine=50, t_max=100))
+    state = trainer.init(jax.random.PRNGKey(0), example_len=t, batch=4)
+
+    mesh2d = make_mesh((2, 2), ("data", "model"))
+    # the rule must actually shard something at this scale
+    shardings = param_sharding_rules(mesh2d, state.gen_params, min_size=64)
+    n_sharded = sum(1 for s in jax.tree_util.tree_leaves(shardings)
+                    if s.spec != jax.sharding.PartitionSpec())
+    assert n_sharded > 0
+
+    mix = jax.random.normal(jax.random.PRNGKey(1), (4, t, 1)) * 0.1
+    clean = mix * 0.9
+    key = jax.random.PRNGKey(2)
+
+    # the parallel step donates its input state — keep a copy for the
+    # second (replicated) run
+    state_copy = jax.tree_util.tree_map(jnp.array, state)
+
+    step_tp = make_parallel_train_step(trainer, mesh2d, model_sharding=True,
+                                       shard_min_size=64)
+    s_tp, m_tp = step_tp(state, (mix, clean), key)
+    # a large weight in the NEW state must still be sharded over `model`
+    big = [x for x in jax.tree_util.tree_leaves(s_tp.gen_params)
+           if hasattr(x, "sharding") and x.ndim >= 2 and x.size >= 64]
+    assert any("model" in str(x.sharding.spec) for x in big), \
+        [str(x.sharding.spec) for x in big[:5]]
+
+    step_dp = make_parallel_train_step(trainer, default_mesh(4))
+    s_dp, m_dp = step_dp(state_copy, (mix, clean), key)
+    for k in m_dp:
+        np.testing.assert_allclose(float(m_tp[k]), float(m_dp[k]),
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
