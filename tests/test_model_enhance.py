@@ -89,3 +89,41 @@ def test_pad_unpad_inverse(model_and_params):
     assert xp.shape[-2] % model.tot_ds == 0
     xr = model.unpad(xp, pad)
     np.testing.assert_allclose(np.asarray(xr), np.asarray(x))
+
+
+def test_normalize_denormalize_property():
+    """denormalize(normalize(x)) == x for every norm mode/ref (property
+    test over random batches; reference utils/norm.py:31-91 semantics)."""
+    from open_universe_tpu.utils.norm import (
+        denormalize_batch,
+        normalize_batch,
+    )
+
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        b = int(rng.integers(1, 4))
+        t = int(rng.integers(64, 257))
+        scale = 10.0 ** rng.uniform(-3, 2)
+        mix = jnp.asarray(
+            rng.standard_normal((b, t, 1)) * scale + rng.uniform(-1, 1))
+        tgt = jnp.asarray(rng.standard_normal((b, t, 1)) * scale * 0.5)
+        for norm in (2, "max", "2-max"):
+            for ref in ("noisy", "both"):
+                (mx, tg), mean, inv_gain = normalize_batch(
+                    (mix, tgt), norm=norm, level_db=-26.0, ref=ref)
+                rec = denormalize_batch(mx, mean, inv_gain)
+                np.testing.assert_allclose(np.asarray(rec), np.asarray(mix),
+                                           rtol=1e-4, atol=1e-5 * scale)
+                # normalized mix is zero-mean and hits the target level
+                m = np.asarray(mx)
+                assert abs(m.mean()) < 1e-3
+                if norm in (2, "2"):
+                    np.testing.assert_allclose(
+                        m.std(axis=(1, 2)), 10 ** (-26 / 20), rtol=1e-3)
+                if ref == "noisy":
+                    # target shares the mix statistics -> mix-target
+                    # alignment is preserved exactly up to the gain
+                    rec_t = denormalize_batch(tg, mean, inv_gain)
+                    np.testing.assert_allclose(np.asarray(rec_t),
+                                               np.asarray(tgt),
+                                               rtol=1e-4, atol=1e-5 * scale)
