@@ -46,8 +46,6 @@ def main(argv=None):
     from ..data.wavio import read_wav, write_wav
     from ..training.checkpoint import load_model_for_inference
 
-    import jax
-
     # serving precision (see PERF.md: bf16 output correlates 1.000000
     # with f32 and is the production path on TPU)
     on_accel = jax.default_backend() not in ("cpu",)
@@ -55,8 +53,8 @@ def main(argv=None):
     if dtype != "float32":
         from ..ops.conv import set_compute_dtype
         set_compute_dtype(dtype)
-    if args.pallas_gru and on_accel:
-        from ..ops.gru import set_use_pallas_gru
+    if args.pallas_gru and jax.default_backend() in ("tpu", "axon"):
+        from ..ops.gru import set_use_pallas_gru  # Mosaic kernel: TPU-only
         set_use_pallas_gru(True)
 
     step = args.step

@@ -59,7 +59,8 @@ def main(argv=None):
     if dtype and dtype != "float32":
         from ..ops.conv import set_compute_dtype
         set_compute_dtype(dtype)
-    if run.get("pallas_gru", False) and on_accel:
+    if run.get("pallas_gru", False) and jax.default_backend() in ("tpu",
+                                                                   "axon"):
         from ..ops.gru import set_use_pallas_gru
         set_use_pallas_gru(True)
 
@@ -75,29 +76,18 @@ def main(argv=None):
     audio_len = int(cfg["datamodule"].get("audio_len", 4.0)
                     * cfg["model"].get("fs", 16000))
 
-    # init on host CPU (one transfer) — on-device init costs hundreds of
-    # small compiles over a remote-compile TPU tunnel
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        cpu = None
-    init_ctx = jax.default_device(cpu) if cpu is not None else \
-        __import__("contextlib").nullcontext()
-    with init_ctx:
-        if cfg["trainer"].get("kind") == "lora":
-            state = trainer.init(k_init)
-        elif cfg["trainer"].get("kind") == "mdn":
-            state = trainer.init(k_init, batch=cfg["datamodule"].get(
-                "batch_size", 8))
-        else:
-            # params are length-independent; init with a short example
-            init_len = min(audio_len, model.tot_ds * 10)
-            state = trainer.init(k_init, example_len=init_len,
-                                 batch=cfg["datamodule"].get("batch_size", 8))
-    # pin to the accelerator: device_put with no target leaves a
-    # CPU-committed pytree on CPU, so every jit call would re-ship the
-    # whole state over the device link (and donation could not alias)
-    state = jax.device_put(state, jax.devices()[0])
+    from ..runtime import host_init
+
+    if cfg["trainer"].get("kind") == "lora":
+        state = host_init(trainer.init, k_init)
+    elif cfg["trainer"].get("kind") == "mdn":
+        state = host_init(trainer.init, k_init,
+                          batch=cfg["datamodule"].get("batch_size", 8))
+    else:
+        # params are length-independent; init with a short example
+        init_len = min(audio_len, model.tot_ds * 10)
+        state = host_init(trainer.init, k_init, example_len=init_len,
+                          batch=cfg["datamodule"].get("batch_size", 8))
 
     ckpt_dir = Path(run["ckpt_dir"])
     start_step = 0
@@ -166,13 +156,15 @@ def main(argv=None):
                 log(step, m)
 
             if step % run.get("val_every", 5000) == 0 and "val" in dm.batchers:
+                key, k_val = jax.random.split(key)
                 state, vmetrics = validate(state, trainer, dm, eval_metrics,
-                                           run, key, step, log)
+                                           run, k_val, step, log)
                 # keep the single best checkpoint by val/score (reference
                 # ModelCheckpoint save_top_k=1, train.py:141-150)
                 score = vmetrics.get("val/score")
-                if score is not None and save_best_checkpoint(
-                        ckpt_dir, step, jax.device_get(state), score):
+                if score is not None and is_rank_zero() and \
+                        save_best_checkpoint(ckpt_dir, step,
+                                             jax.device_get(state), score):
                     backup.trigger()
 
             if step % run.get("ckpt_every", 5000) == 0:
@@ -250,13 +242,26 @@ def validate(state, trainer, dm, eval_metrics, run, key, step, log):
         for k, v in m.items():
             vals.setdefault(f"val/{k}", []).append(v)
     async_eval.close()
+    # cross-process mean (sync_dist parity): every host must base the
+    # adaptive-sampling and best-checkpoint decisions on the SAME values,
+    # or the nominally replicated train state diverges across hosts
+    from ..parallel.multihost import all_mean_scalar_dict
+
     vmetrics = {k: float(np.mean(v)) for k, v in vals.items()}
+    if bin_losses:
+        mean_bins = np.stack(bin_losses).mean(0)
+        vmetrics.update({f"_bin_{i}": float(v)
+                         for i, v in enumerate(mean_bins)})
+    vmetrics = all_mean_scalar_dict(vmetrics)
+    mean_bins = [vmetrics.pop(k) for k in sorted(
+        [k for k in vmetrics if k.startswith("_bin_")],
+        key=lambda k: int(k.split("_")[-1]))]
     log(step, vmetrics, prefix="val ")
     # adaptive sigma sampling: importance-sample training time from the
     # mean per-bin val score losses (reference universe.py:630-638)
-    if bin_losses and hasattr(trainer, "update_adaptive_sampling"):
-        state = trainer.update_adaptive_sampling(
-            state, np.stack(bin_losses).mean(0))
+    if mean_bins and hasattr(trainer, "update_adaptive_sampling"):
+        state = trainer.update_adaptive_sampling(state,
+                                                 np.asarray(mean_bins))
     return state, vmetrics
 
 

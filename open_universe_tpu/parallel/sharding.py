@@ -62,6 +62,7 @@ def make_parallel_train_step(trainer, mesh: Mesh,
     Works for GanTrainer and MdnTrainer (any (state, batch, key) step).
     """
     repl = replicated(mesh)
+    state_shardings = []  # computed once; the state structure is fixed
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, key):
@@ -70,9 +71,10 @@ def make_parallel_train_step(trainer, mesh: Mesh,
     def run(state, batch, key):
         batch = shard_batch(mesh, batch)
         if model_sharding and "model" in mesh.axis_names:
-            state = jax.device_put(
-                state, param_sharding_rules(mesh, state,
-                                            min_size=shard_min_size))
+            if not state_shardings:
+                state_shardings.append(param_sharding_rules(
+                    mesh, state, min_size=shard_min_size))
+            state = jax.device_put(state, state_shardings[0])
         else:
             state = jax.device_put(state, repl)
         key = jax.device_put(key, repl)

@@ -49,13 +49,18 @@ def save_best_checkpoint(ckpt_dir, step: int, state, score: float,
     Parity: reference ModelCheckpoint(save_top_k=1) monitoring
     cfg.model.validation.main_loss (val/score), train.py:141-150.
     Returns True when the checkpoint was saved (score improved)."""
+    import math
+
+    if not math.isfinite(score):
+        return False  # a diverged val score must never clobber the best
     ckpt_dir = Path(ckpt_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     best_file = ckpt_dir / "best.json"
     if best_file.exists():
         with open(best_file) as f:
             prev = json.load(f)["score"]
-        if (score >= prev) if minimize else (score <= prev):
+        if math.isfinite(prev) and (
+                (score >= prev) if minimize else (score <= prev)):
             return False
     path = ckpt_dir / "best"
     if path.exists():

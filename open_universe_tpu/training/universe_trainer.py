@@ -137,6 +137,31 @@ class MdnTrainer:
             return state
         return state.replace(sigma_pr_cum=adaptive_pr_cum(bin_losses))
 
+    def val_score_losses(self, state: MdnTrainState, batch, key,
+                         n_bins: int = 5, use_ema: bool = True):
+        """Per-sigma-bin validation score losses (reference
+        universe.py:606-650) — feeds val/score, the best-checkpoint
+        monitor, and the adaptive-sampling update."""
+        model = self.model
+        mix, target = batch[0], batch[1]
+        if use_ema:
+            params = dict(state.params)
+            params.update(state.ema.params)  # score/cond from EMA
+        else:
+            params = state.params
+        (mix, target), *_ = model.normalize_batch((mix, target))
+        mix, _ = model.pad(mix)
+        target, _ = model.pad(target)
+        tb = jnp.linspace(0.0, 1.0, n_bins + 1)
+        losses = []
+        for i in range(n_bins):
+            key, kl = jax.random.split(key)
+            losses.append(self.compute_losses(
+                params, mix, target, kl, time_sampling="time_uniform",
+                t_min=float(i) / n_bins, t_max=float(i + 1) / n_bins,
+                train=False))
+        return jnp.stack(losses), tb
+
     def compute_losses(self, params, mix, target, key,
                        time_sampling=None, t_min=0.0, t_max=1.0,
                        train: bool = True, sigma_pr_cum=None):
