@@ -31,9 +31,18 @@ def make_buckets(lengths: Sequence[int], n_buckets: int = 4,
 class BucketBatcher:
     """Assign samples to buckets, yield index batches per bucket.
 
-    mode: "bucket_bs" (length-sorted buckets, fixed batch size) or
-    "bucket_budget" (token-budget batches: batch size scales inversely
-    with bucket length so samples-per-batch x bucket_len <= budget).
+    All 4 reference batching modes (datamodule_combo2.py:65-211):
+
+    - "fixed": no length grouping — shuffled fixed-size batches, every
+      batch padded to the largest bucket bound (the reference pads to the
+      per-batch max; a single static shape is the XLA-friendly analogue).
+    - "bucket_bs": length-sorted buckets, fixed batch size per bucket.
+    - "bucket_bs_random": anchor + nearest-length window (the reference
+      draws a random anchor and bisects a length window around it,
+      datamodule_combo2.py:121-179); each batch is padded to the bucket
+      of its longest member, so shapes stay static.
+    - "bucket_budget": token-budget batches — batch size scales inversely
+      with bucket length so samples-per-batch x bucket_len <= budget.
     """
 
     def __init__(self, lengths: Sequence[int], bucket_bounds: Sequence[int],
@@ -68,29 +77,101 @@ class BucketBatcher:
             return max(1, self.budget // self.bounds[bucket_idx])
         return self.batch_size
 
+    def _pad_chunk(self, chunk, bs):
+        """Repeat samples so every batch in a bucket has the SAME static
+        shape (XLA-friendly); None if dropped."""
+        if len(chunk) < bs:
+            if self.drop_last:
+                return None
+            chunk = (chunk * math.ceil(bs / len(chunk)))[:bs]
+        return chunk
+
+    def _fixed_batches(self, rng):
+        """Reference "fixed" mode: plain shuffled fixed-size batches, no
+        length grouping; every batch uses the largest bucket shape."""
+        ids = list(range(len(self.lengths)))
+        if self.shuffle:
+            rng.shuffle(ids)
+        bi = len(self.bounds) - 1
+        batches = []
+        for s in range(0, len(ids), self.batch_size):
+            chunk = self._pad_chunk(ids[s : s + self.batch_size],
+                                    self.batch_size)
+            if chunk is not None:
+                batches.append((bi, chunk))
+        return batches
+
+    def _anchor_batches(self, rng):
+        """Reference "bucket_bs_random" mode: draw a random anchor, batch
+        it with the alive samples NEAREST IN LENGTH (the static-shape
+        analogue of the reference's bisect length-window around the
+        anchor, datamodule_combo2.py:121-179). Each batch is padded to
+        the bucket of its longest member."""
+        order = sorted(range(len(self.lengths)),
+                       key=lambda i: self.lengths[i])
+        pos = {idx: p for p, idx in enumerate(order)}
+        alive = [True] * len(order)
+        anchors = list(range(len(self.lengths)))
+        rng.shuffle(anchors)
+        batches = []
+        for a in anchors:
+            if not alive[pos[a]]:
+                continue
+            # expand symmetrically in sorted-length order around the anchor
+            chunk = [a]
+            alive[pos[a]] = False
+            lo, hi = pos[a] - 1, pos[a] + 1
+            while len(chunk) < self.batch_size and (lo >= 0
+                                                    or hi < len(order)):
+                dlo = (abs(self.lengths[order[lo]] - self.lengths[a])
+                       if lo >= 0 and alive[lo] else None)
+                dhi = (abs(self.lengths[order[hi]] - self.lengths[a])
+                       if hi < len(order) and alive[hi] else None)
+                if dlo is None and dhi is None:
+                    if lo >= 0:
+                        lo -= 1
+                    if hi < len(order):
+                        hi += 1
+                    continue
+                if dhi is None or (dlo is not None and dlo <= dhi):
+                    chunk.append(order[lo])
+                    alive[lo] = False
+                    lo -= 1
+                else:
+                    chunk.append(order[hi])
+                    alive[hi] = False
+                    hi += 1
+            bi = max(self.assignment[i] for i in chunk)
+            chunk = self._pad_chunk(chunk, self.batch_size)
+            if chunk is not None:
+                batches.append((bi, chunk))
+        return batches
+
     def epoch_batches(self, epoch: int = 0):
         """Yields (bucket_idx, [sample indices]) with per-host sharding."""
         rng = random.Random(self.seed + epoch)
-        per_bucket = [[] for _ in self.bounds]
-        for i, b in enumerate(self.assignment):
-            per_bucket[b].append(i)
+        if self.mode == "fixed":
+            batches = self._fixed_batches(rng)
+        elif self.mode == "bucket_bs_random":
+            batches = self._anchor_batches(rng)
+        elif self.mode in ("bucket_bs", "bucket_budget"):
+            per_bucket = [[] for _ in self.bounds]
+            for i, b in enumerate(self.assignment):
+                per_bucket[b].append(i)
 
-        batches = []
-        for bi, ids in enumerate(per_bucket):
-            if not ids:
-                continue
-            if self.shuffle:
-                rng.shuffle(ids)
-            bs = self._bucket_batch_size(bi)
-            for s in range(0, len(ids), bs):
-                chunk = ids[s : s + bs]
-                if len(chunk) < bs:
-                    if self.drop_last:
-                        continue
-                    # repeat samples so every batch in a bucket has the
-                    # SAME static shape (XLA-friendly)
-                    chunk = (chunk * math.ceil(bs / len(chunk)))[:bs]
-                batches.append((bi, chunk))
+            batches = []
+            for bi, ids in enumerate(per_bucket):
+                if not ids:
+                    continue
+                if self.shuffle:
+                    rng.shuffle(ids)
+                bs = self._bucket_batch_size(bi)
+                for s in range(0, len(ids), bs):
+                    chunk = self._pad_chunk(ids[s : s + bs], bs)
+                    if chunk is not None:
+                        batches.append((bi, chunk))
+        else:
+            raise ValueError(f"unknown batching mode: {self.mode!r}")
         if self.shuffle:
             rng.shuffle(batches)
         # shard whole batches across hosts (each host sees every n-th batch)

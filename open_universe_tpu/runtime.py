@@ -123,6 +123,10 @@ def build_datamodule(dm_cfg: dict, splits=("train", "val", "test"),
     length_mode = d.pop("length_mode", "crop")
     batch_size = d.pop("batch_size", 8)
     num_workers = d.pop("num_workers", 4)
+    # batching knobs (reference datamodule_combo2.py modes; batching.py)
+    batching = {k: d.pop(k) for k in ("batching_mode", "n_buckets",
+                                      "budget_frames", "multiple_of")
+                if k in d}
     datasets = {}
     for split in splits:
         datasets[split] = dict(
@@ -131,4 +135,4 @@ def build_datamodule(dm_cfg: dict, splits=("train", "val", "test"),
             length_mode=length_mode, **d)
     return DataModule(datasets=datasets, batch_size=batch_size,
                      num_workers=num_workers, shard_rank=shard_rank,
-                     shard_count=shard_count)
+                     shard_count=shard_count, **batching)

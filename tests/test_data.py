@@ -95,6 +95,46 @@ def test_bucket_batcher_static_shapes():
     assert seen == set(range(len(lengths)))
 
 
+def test_bucket_batcher_fixed_mode():
+    # reference "fixed" mode: no length grouping, one static shape
+    lengths = [100, 150, 300, 320, 800, 810, 805, 790]
+    b = BucketBatcher(lengths, [320, 960], batch_size=3, mode="fixed")
+    batches = b.epoch_batches(0)
+    seen = set()
+    for bi, idxs in batches:
+        assert bi == 1  # every batch padded to the largest bound
+        assert len(idxs) == 3
+        seen.update(idxs)
+    assert seen == set(range(len(lengths)))
+
+
+def test_bucket_batcher_anchor_mode():
+    # reference "bucket_bs_random": anchor + nearest-length window
+    lengths = [100, 110, 120, 300, 310, 320, 800, 810, 805, 790]
+    b = BucketBatcher(lengths, [320, 960], batch_size=2,
+                      mode="bucket_bs_random", seed=3)
+    batches = b.epoch_batches(0)
+    seen = []
+    for bi, idxs in batches:
+        assert len(idxs) == 2
+        seen.extend(idxs)
+        for i in idxs:
+            assert lengths[i] <= b.bounds[bi]
+    # every sample appears exactly once (10 samples / bs 2 = 5 batches)
+    assert sorted(seen) == list(range(len(lengths)))
+    # batches group near lengths: no batch spans the short and long groups
+    for bi, idxs in batches:
+        ls = sorted(lengths[i] for i in idxs)
+        assert ls[-1] - ls[0] < 500
+
+
+def test_bucket_batcher_unknown_mode():
+    import pytest as _pytest
+    b = BucketBatcher([100], [100], mode="nope")
+    with _pytest.raises(ValueError):
+        b.epoch_batches(0)
+
+
 def test_bucket_batcher_sharding():
     lengths = [100] * 16
     b0 = BucketBatcher(lengths, [100], batch_size=2, shard_rank=0,
