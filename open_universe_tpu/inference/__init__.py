@@ -1,1 +1,1 @@
-from .streaming import enhance_streaming
+from .streaming import enhance_streaming, enhance_streaming_sharded

@@ -129,6 +129,36 @@ def test_streaming_enhance():
     assert np.isfinite(out).all()
 
 
+def test_streaming_enhance_sharded_matches_unsharded():
+    """Chunk-parallel streaming over an 8-device mesh == same batched math
+    on one device (sharding must not change the audio)."""
+    from open_universe_tpu.diffusion import DiffusionConfig
+    from open_universe_tpu.inference import enhance_streaming_sharded
+    from open_universe_tpu.models.universe.model import (
+        UniverseConfig,
+        UniverseModel,
+    )
+    from open_universe_tpu.parallel import default_mesh
+
+    model = UniverseModel(UniverseConfig(
+        fs=800, rate_factors=(2, 4), n_channels=4, noise_cond_dim=32,
+        n_rff=8, n_mels=8, diffusion=DiffusionConfig(n_steps=3)))
+    params = model.init(jax.random.PRNGKey(0), example_len=80)
+    mix = 0.1 * np.random.default_rng(0).standard_normal(7000).astype(
+        np.float32)
+    kwargs = dict(chunk_seconds=1.0, overlap_seconds=0.25)
+    mesh = default_mesh(8)
+    out_sh = enhance_streaming_sharded(model, params, mix,
+                                       jax.random.PRNGKey(1), mesh=mesh,
+                                       **kwargs)
+    out_ref = enhance_streaming_sharded(model, params, mix,
+                                        jax.random.PRNGKey(1), mesh=None,
+                                        chunks_per_device=8, **kwargs)
+    assert out_sh.shape == (7000,)
+    assert np.isfinite(out_sh).all()
+    np.testing.assert_allclose(out_sh, out_ref, atol=2e-4, rtol=1e-3)
+
+
 def test_profiling_flops():
     from open_universe_tpu.utils.profiling import (
         enhance_flops,
