@@ -35,15 +35,22 @@ def run_once():
     t = int(fs * seconds)
     n_iter = 2
 
-    # production serving precision: bf16 compute, f32 params/sampler state
-    # (quality-verified: corr 1.000000 with f32 output); fused Pallas GRU
-    # recurrence for the bottlenecks (~2.5% end-to-end)
+    # production serving precision: bf16 compute + bf16-stored params,
+    # f32 sampler state (quality-verified: corr 1.000000 with f32 output);
+    # fused Pallas GRU recurrence for the bottlenecks (~2.5% end-to-end)
     set_compute_dtype("bfloat16")
     from open_universe_tpu.ops.gru import set_use_pallas_gru
     from open_universe_tpu.runtime import host_init
     model = UniverseModel(UniverseConfig())
     params = host_init(model.init, jax.random.PRNGKey(0), example_len=1600,
                        batch=1)
+    # bf16-stored params: the enhance path is HBM-bound and reads the full
+    # weight set once per score call (8x per batch); storing bf16 halves
+    # that traffic: +10% measured, output corr 1.000000 vs f32 storage
+    # (scripts/bench_bf16_params.py; PERF.md)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
     set_use_pallas_gru(True)  # after init: no TPU kernel in the CPU trace
 
     @jax.jit

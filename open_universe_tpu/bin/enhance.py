@@ -24,6 +24,10 @@ def main(argv=None):
     parser.add_argument("--compute-dtype", default=None,
                         help="matmul/conv operand dtype (default: bfloat16 "
                              "on accelerators, float32 on CPU)")
+    parser.add_argument("--param-dtype", default=None,
+                        help="weight storage dtype (default: follows "
+                             "--compute-dtype; bf16 halves HBM weight "
+                             "traffic on the sampler loop)")
     parser.add_argument("--pallas-gru", action="store_true",
                         help="fused Pallas GRU recurrence (TPU serving)")
     parser.add_argument("--seed", type=int, default=682479040)
@@ -62,6 +66,14 @@ def main(argv=None):
         step = int(step)
     model, params, cfg = load_model_for_inference(
         args.ckpt, step=step, use_ema=not args.no_ema)
+    # bf16-stored params on accelerators: the enhance path is HBM-bound and
+    # re-reads the full weight set at every sampler step; bf16 storage halves
+    # that traffic (+10% measured, output corr 1.000000 — PERF.md).
+    pdtype = args.param_dtype or dtype
+    if pdtype != "float32":
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(pdtype) if x.dtype == jnp.float32 else x,
+            params)
     fs_model = cfg["model"].get("fs", 16000)
     kwargs = collect_enhance_kwargs(args, UniverseModel.enhance)
 
