@@ -25,6 +25,7 @@ def main(argv=None):
                         help="matmul/conv operand dtype (default: bfloat16 "
                              "on accelerators, float32 on CPU)")
     parser.add_argument("--param-dtype", default=None,
+                        choices=["float32", "bfloat16"],
                         help="weight storage dtype (default: follows "
                              "--compute-dtype; bf16 halves HBM weight "
                              "traffic on the sampler loop)")
@@ -69,7 +70,8 @@ def main(argv=None):
     # bf16-stored params on accelerators: the enhance path is HBM-bound and
     # re-reads the full weight set at every sampler step; bf16 storage halves
     # that traffic (+10% measured, output corr 1.000000 — PERF.md).
-    pdtype = args.param_dtype or dtype
+    pdtype = args.param_dtype or ("bfloat16" if dtype != "float32" else
+                                  "float32")
     if pdtype != "float32":
         params = jax.tree_util.tree_map(
             lambda x: x.astype(pdtype) if x.dtype == jnp.float32 else x,

@@ -349,15 +349,26 @@ class GanTrainer:
         mix, _ = model.apply_transform(mix)
         target, _ = model.apply_transform(target)
         tb = jnp.linspace(0.0, 1.0, n_bins + 1)
-        losses = []
+        # ONE conditioner forward (cond does not depend on the sigma bin),
+        # then ONE score forward with the bins folded into the batch axis —
+        # the reference loops the whole pipeline 5x (universe.py:613-628)
+        cond, _, _ = model.apply_cond(params, mix, x_wav=mix_wav)
+        sigmas, zs = [], []
         for i in range(n_bins):
             key, ks, kz = jax.random.split(key, 3)
             sigma, _ = sample_sigma(ks, mix.shape[0], model.cfg.diffusion,
                                     "time_uniform", t_min=float(i) / n_bins,
                                     t_max=float(i + 1) / n_bins)
-            z = jax.random.normal(kz, target.shape, target.dtype)
-            x_t = target + sigma[:, None, None] * z
-            cond, _, _ = model.apply_cond(params, mix, x_wav=mix_wav)
-            score = model.score_fn(params)(x_t, sigma, cond)
-            losses.append(jnp.mean((sigma[:, None, None] * score + z) ** 2))
-        return jnp.stack(losses), tb
+            sigmas.append(sigma)
+            zs.append(jax.random.normal(kz, target.shape, target.dtype))
+        sigma = jnp.concatenate(sigmas, axis=0)            # (n_bins*B,)
+        z = jnp.concatenate(zs, axis=0)                    # (n_bins*B, T, C)
+        x_t = jnp.tile(target, (n_bins,) + (1,) * (target.ndim - 1)) \
+            + sigma[:, None, None] * z
+        cond_t = jax.tree_util.tree_map(
+            lambda c: jnp.tile(c, (n_bins,) + (1,) * (c.ndim - 1)), cond)
+        score = model.score_fn(params)(x_t, sigma, cond_t)
+        per_ex = jnp.mean((sigma[:, None, None] * score + z) ** 2,
+                          axis=tuple(range(1, score.ndim)))
+        losses = jnp.mean(per_ex.reshape(n_bins, -1), axis=1)
+        return losses, tb

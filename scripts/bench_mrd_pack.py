@@ -70,7 +70,12 @@ def main():
         @jax.jit
         def loop(*a):
             def body(carry, i):
-                out = fn(*a)
+                # perturb the first operand per-iteration so XLA can't hoist
+                # the conv out of the while-loop (invariant code motion)
+                eps = jax.random.normal(
+                    jax.random.fold_in(jax.random.PRNGKey(0), i),
+                    a[0].shape, a[0].dtype) * 1e-6
+                out = fn(a[0] + eps, *a[1:])
                 return carry + out.astype(jnp.float32).sum(), None
             acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n_iter))
             return acc

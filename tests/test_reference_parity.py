@@ -17,8 +17,12 @@ import pytest
 
 REF = Path("/root/reference/open_universe/networks/universe")
 
-pytestmark = pytest.mark.skipif(not REF.exists(),
-                                reason="reference tree not mounted")
+pytestmark = [
+    pytest.mark.skipif(not REF.exists(),
+                       reason="reference tree not mounted"),
+    pytest.mark.slow,
+    pytest.mark.parity,
+]
 
 import torch  # noqa: E402
 
