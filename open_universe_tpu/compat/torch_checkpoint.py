@@ -20,9 +20,13 @@ import numpy as np
 
 
 def _np(x):
+    # COPY: torch .numpy() shares memory with the tensor, and jnp.asarray
+    # on CPU can be zero-copy too — without the copy, in-place updates to
+    # the torch module (e.g. optimizer steps in parity tests) would
+    # silently mutate the converted params
     if hasattr(x, "detach"):
-        return x.detach().cpu().numpy()
-    return np.asarray(x)
+        return np.array(x.detach().cpu().numpy())
+    return np.array(x)
 
 
 def _fold_wn(sd, prefix):
@@ -105,6 +109,53 @@ def _conv_block(sd, prefix, wn: bool, rate_dir: str = "none",
         out["signal_cond_proj"] = {
             "proj": _conv1d(sd, f"{prefix}.signal_cond_proj.proj", wn)}
     return out
+
+
+def _conv2d(sd, prefix, wn_out: bool):
+    """torch Conv2d (O,I,KH,KW) -> ours (KH,KW,I,O), folding weight norm."""
+    w, _ = _fold_wn(sd, prefix)
+    kernel = np.transpose(w, (2, 3, 1, 0))
+    out = _split_wn(kernel) if wn_out else {"kernel": kernel}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def convert_discriminators(sd: Dict, periods=(2, 3, 5, 7, 11),
+                           resolutions=((1024, 120, 600), (2048, 240, 1200),
+                                        (512, 50, 240)),
+                           mpd_prefix: str = "loss_mpd",
+                           mrd_prefix: str = "loss_mrd"):
+    """Reference MPD/MRD state dict (bigvgan/gan.py:21-284) -> our
+    {"mpd": ..., "mrd": ...} discriminator params pytree."""
+    mpd = {}
+    for i, p in enumerate(periods):
+        d = {}
+        for j in range(5):
+            d[f"conv_{j}"] = _conv2d(
+                sd, f"{mpd_prefix}.discriminators.{i}.convs.{j}", True)
+        d["conv_post"] = _conv2d(
+            sd, f"{mpd_prefix}.discriminators.{i}.conv_post", True)
+        mpd[f"p{p}"] = d
+    mrd = {}
+    for i, res in enumerate(resolutions):
+        d = {}
+        for j in range(5):
+            d[f"conv_{j}"] = _conv2d(
+                sd, f"{mrd_prefix}.discriminators.{i}.convs.{j}", True)
+        d["conv_post"] = _conv2d(
+            sd, f"{mrd_prefix}.discriminators.{i}.conv_post", True)
+        mrd[f"r{res[0]}_{res[1]}"] = d
+    return _to_jnp({"mpd": mpd, "mrd": mrd})
+
+
+def convert_mdn_loss(sd: Dict, prefix: str):
+    """Reference MixtureDensityNetworkLoss (mdn.py:36-157) -> our
+    losses.mdn.MixtureDensityNetworkLoss params. torch LayerNorm((C, T))
+    affine -> our (T, C) tables."""
+    return {"ln_scale": _np(sd[f"{prefix}.layer_norm.weight"]).T,
+            "ln_bias": _np(sd[f"{prefix}.layer_norm.bias"]).T,
+            "conv": _prelu_conv(sd, f"{prefix}.conv", False)}
 
 
 def _gru(sd, prefix, num_layers: int):

@@ -43,8 +43,16 @@ def reverse_sde_sample(
     warm_start: Optional[int] = None,
     aux_signal=None,
     oracle_uses_key: bool = False,
+    noise=None,
 ):
     """Run the reverse SDE. score_fn(x, sigma, cond[, key]) -> score.
+
+    ``noise``, if given, is a pair ``(noise_init, noise_steps)`` of unit
+    normals — ``noise_init`` of ``shape`` and ``noise_steps`` of
+    ``(n_iter,) + shape`` — consumed in place of fresh PRNG draws. This
+    is the parity-test hook: it mirrors injecting the reference's torch
+    ``randn(x, sigma, rng)`` draws (universe.py:326-339) so both
+    samplers can be run on identical noise.
 
     Returns the final sample of ``shape`` (B, T, C).
     """
@@ -57,12 +65,18 @@ def reverse_sde_sample(
             return score_fn(x, s_b, cond, key=k)
         return score_fn(x, s_b, cond)
 
+    noise_init = noise_steps = None
+    if noise is not None:
+        noise_init, noise_steps = noise
+
     key, k_init = jax.random.split(key)
+    if noise_init is None:
+        noise_init = jax.random.normal(k_init, shape)
     if warm_start is None:
-        x = sigma[0] * jax.random.normal(k_init, shape)
+        x = sigma[0] * noise_init
         n_start = 0
     else:
-        x = aux_signal + sigma[warm_start] * jax.random.normal(k_init, shape)
+        x = aux_signal + sigma[warm_start] * noise_init
         n_start = warm_start
 
     n_iter = (n - 1) - n_start
@@ -74,13 +88,16 @@ def reverse_sde_sample(
     sig_next = sigma[n_start + 1 : n]
 
     def step(x, inp):
-        s_now, s_next, ks = inp
+        s_now, s_next, ks, z_in = inp
         score = call_score(x, s_now, ks[0])
-        z = s_next * jax.random.normal(ks[1], x.shape, x.dtype)
-        x = x + s_now**2 * eta * score + beta * z
+        z0 = (jax.random.normal(ks[1], x.shape, x.dtype)
+              if noise_steps is None else z_in)
+        x = x + s_now**2 * eta * score + beta * (s_next * z0)
         return x, None
 
-    x, _ = jax.lax.scan(step, x, (sig_now, sig_next, scan_keys))
+    zs = (jnp.zeros((n_iter, 0)) if noise_steps is None
+          else jnp.asarray(noise_steps))
+    x, _ = jax.lax.scan(step, x, (sig_now, sig_next, scan_keys, zs))
 
     # final deterministic step at sigma_min
     score = call_score(x, sigma[-1], final_key)

@@ -90,8 +90,10 @@ class DiscriminatorR(nn.Module):
         w = jnp.pad(w, ((0, 0), (p, p)), mode="reflect")
         # magnitude via the windowed-DFT matmul (MXU, compute dtype) — ~1.6x
         # the TPU FFT path for these sizes (scripts/bench_discr.py)
+        # torch.stft with window=None is a RECTANGULAR window of
+        # win_length zero-padded to n_fft (reference bigvgan/gan.py:238-245)
         mag = stft_magnitude(w, n_fft, hop, win_length=win, center=False,
-                             dtype=get_compute_dtype())
+                             dtype=get_compute_dtype(), window="ones")
         # (B, frames, F) -> (B, F, frames, 1): freq is H, time is W
         return jnp.swapaxes(mag, 1, 2)[..., None]
 

@@ -272,8 +272,13 @@ class UniverseModel:
         ensemble: Optional[int] = None,
         ensemble_stat: str = "median",
         warm_start: Optional[int] = None,
+        noise=None,
     ):
-        """Enhance a noisy mixture. mix: (T,), (B, T) or (B, T, 1)."""
+        """Enhance a noisy mixture. mix: (T,), (B, T) or (B, T, 1).
+
+        ``noise`` is the parity-test hook forwarded to
+        ``reverse_sde_sample`` (identical-noise comparison against the
+        reference sampler); it is not exposed on the CLI."""
         x_ndim = mix.ndim
         if x_ndim == 1:
             mix = mix[None, :, None]
@@ -323,7 +328,7 @@ class UniverseModel:
             x = reverse_sde_sample(
                 score_fn, cond, mix.shape, key, self.cfg.diffusion,
                 n_steps=n_steps, epsilon=epsilon, warm_start=warm_start,
-                aux_signal=aux, oracle_uses_key=oracle)
+                aux_signal=aux, oracle_uses_key=oracle, noise=noise)
 
         # back to the waveform domain (reference universe.py:346)
         x = self.inverse_transform(x, n_frames, mix_wav.shape[-2])

@@ -82,7 +82,19 @@ def _pad_reflect(x, lo: int, hi: int):
 
 
 @lru_cache(maxsize=None)
-def dft_basis(n_fft: int, win_length: int = None) -> np.ndarray:
+def rect_window(win_length: int, n_fft: int = None) -> np.ndarray:
+    """ones(win_length), zero-padded symmetrically to n_fft — what
+    torch.stft uses when ``window=None`` (the reference MRD spectrogram,
+    bigvgan/gan.py:238-245)."""
+    w = np.ones(win_length, np.float32)
+    if n_fft is not None and n_fft > win_length:
+        lpad = (n_fft - win_length) // 2
+        w = np.pad(w, (lpad, n_fft - win_length - lpad))
+    return w
+
+
+def dft_basis(n_fft: int, win_length: int = None,
+              window: str = "hann") -> np.ndarray:
     """Windowed real-DFT basis ``(n_fft, 2*(n_fft//2+1))`` = [cos | -sin].
 
     ``frames @ basis`` equals the windowed rFFT with re/im stacked along the
@@ -93,9 +105,10 @@ def dft_basis(n_fft: int, win_length: int = None) -> np.ndarray:
     k = np.arange(n_fft // 2 + 1)
     n = np.arange(n_fft)
     ang = 2.0 * np.pi * np.outer(n, k) / n_fft
-    window = hann_window(win_length, n_fft)
+    win = (hann_window if window == "hann" else rect_window)(win_length,
+                                                             n_fft)
     basis = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)
-    return (basis * window[:, None]).astype(np.float32)
+    return (basis * win[:, None]).astype(np.float32)
 
 
 def overlap_add_static(frames, hop: int, out_len: int):
@@ -121,7 +134,8 @@ def overlap_add_static(frames, hop: int, out_len: int):
 
 @lru_cache(maxsize=None)
 def _stft_magnitude_fn(n_fft: int, hop: int, win_length: int,
-                       dtype_name: str, eps: float):
+                       dtype_name: str, eps: float,
+                       window: str = "hann"):
     """custom_vjp |STFT| on an (already padded) signal.
 
     Forward: framed matmul with the windowed DFT basis (MXU). Backward:
@@ -132,7 +146,7 @@ def _stft_magnitude_fn(n_fft: int, hop: int, win_length: int,
     import jax as _jax
 
     dtype = jnp.dtype(dtype_name) if dtype_name else None
-    basis_np = dft_basis(n_fft, win_length)
+    basis_np = dft_basis(n_fft, win_length, window)
     fdim = n_fft // 2 + 1
 
     def _mag_from_z(z):
@@ -175,7 +189,7 @@ def _stft_magnitude_fn(n_fft: int, hop: int, win_length: int,
 
 def stft_magnitude(x, n_fft: int, hop: int, win_length: int = None,
                    center: bool = False, pad_mode: str = "reflect",
-                   dtype=None, eps: float = 1e-12):
+                   dtype=None, eps: float = 1e-12, window: str = "hann"):
     """|STFT| of ``x (B, T)`` -> ``(B, n_frames, n_fft//2+1)`` via ONE matmul.
 
     Equivalent to ``abs(stft(...))`` but expressed as a windowed-DFT-basis
@@ -191,7 +205,7 @@ def stft_magnitude(x, n_fft: int, hop: int, win_length: int = None,
             x, ((0, 0), (p, p)))
     fn = _stft_magnitude_fn(n_fft, hop, win_length,
                             jnp.dtype(dtype).name if dtype is not None
-                            else "", eps)
+                            else "", eps, window)
     return fn(x)
 
 

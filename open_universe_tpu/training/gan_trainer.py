@@ -77,6 +77,12 @@ class GanTrainConfig:
     # extra U-Net forward for not keeping its residuals in HBM, letting the
     # batch (and MXU efficiency) grow on a fixed-HBM chip
     remat: bool = False
+    # rematerialize the discriminator forwards (disc update + generator
+    # GAN terms): disc activations are the largest train-step tensors
+    # (B x T x 128+ per MPD level, B x F x T' x 32 per MRD level); with
+    # remat they are recomputed in the backward instead of held in HBM,
+    # which is what lets batch 64 fit on a 16 GB chip
+    remat_disc: bool = False
 
 
 @struct.dataclass
@@ -182,9 +188,15 @@ class GanTrainer:
         return state.replace(sigma_pr_cum=adaptive_pr_cum(bin_losses))
 
     # ----------------------------------------------------------- train step
-    def train_step(self, state: GanTrainState, batch, key
+    def train_step(self, state: GanTrainState, batch, key,
+                   fixed_noise=None
                    ) -> Tuple[GanTrainState, Dict[str, jnp.ndarray]]:
-        """One optimization step. batch = (mix, target), each (B, T, 1)."""
+        """One optimization step. batch = (mix, target), each (B, T, 1).
+
+        ``fixed_noise=(sigma, z)`` is the parity-test hook: it replaces
+        the PRNG draws so the step can be compared against the
+        reference's torch ``training_step`` (universe_gan.py:153-354)
+        on identical noise."""
         cfg = self.cfg
         model = self.model
         mix, target = batch[0], batch[1]
@@ -208,11 +220,14 @@ class GanTrainer:
         mix, n_frames = model.apply_transform(mix)
         target, _ = model.apply_transform(target)
 
-        sigma, _ = sample_sigma(
-            k_sigma, mix.shape[0], model.cfg.diffusion, cfg.time_sampling,
-            adaptive_pr_cum=state.sigma_pr_cum,
-            adaptive_bins=jnp.linspace(0.0, 1.0, cfg.adaptive_n_bins + 1))
-        z = jax.random.normal(k_z, target.shape, target.dtype)
+        if fixed_noise is not None:
+            sigma, z = fixed_noise
+        else:
+            sigma, _ = sample_sigma(
+                k_sigma, mix.shape[0], model.cfg.diffusion, cfg.time_sampling,
+                adaptive_pr_cum=state.sigma_pr_cum,
+                adaptive_bins=jnp.linspace(0.0, 1.0, cfg.adaptive_n_bins + 1))
+            z = jax.random.normal(k_z, target.shape, target.dtype)
         x_t = target + sigma[:, None, None] * z
 
         # one generator forward, saved for the later pullback
@@ -234,13 +249,21 @@ class GanTrainer:
         mel_target = model.compute_mel_spec(target_original)
 
         # ---------------- discriminator update (on detached estimate)
+        def _mpd_disc_loss(mpd_params, real, fake):
+            rf, gf, _, _ = self.mpd.apply({"params": mpd_params}, real, fake)
+            return discriminator_loss(rf, gf)[0]
+
+        def _mrd_disc_loss(mrd_params, real, fake):
+            rs, gs, _, _ = self.mrd.apply({"params": mrd_params}, real, fake)
+            return discriminator_loss(rs, gs)[0]
+
+        if cfg.remat_disc:
+            _mpd_disc_loss = jax.checkpoint(_mpd_disc_loss)
+            _mrd_disc_loss = jax.checkpoint(_mrd_disc_loss)
+
         def disc_loss_fn(disc_params):
-            rf, gf, _, _ = self.mpd.apply({"params": disc_params["mpd"]},
-                                          target_original, y_det)
-            loss_f, _, _ = discriminator_loss(rf, gf)
-            rs, gs, _, _ = self.mrd.apply({"params": disc_params["mrd"]},
-                                          target_original, y_det)
-            loss_s, _, _ = discriminator_loss(rs, gs)
+            loss_f = _mpd_disc_loss(disc_params["mpd"], target_original, y_det)
+            loss_s = _mrd_disc_loss(disc_params["mrd"], target_original, y_det)
             return loss_f + loss_s, (loss_f, loss_s)
 
         (loss_disc, (loss_mpd, loss_mrd)), disc_grads = jax.value_and_grad(
@@ -266,22 +289,30 @@ class GanTrainer:
         # ---------------- generator update (through updated discriminators)
         gate = disc_active.astype(jnp.float32)
 
+        # paired=False: only the fake half needs input gradients here
+        def _mpd_gen_losses(mpd_params, real, fake):
+            rf, gf, fr, fg = self.mpd.apply(
+                {"params": mpd_params}, real, fake, paired=False)
+            return feature_loss(fr, fg), generator_loss(gf)[0]
+
+        def _mrd_gen_losses(mrd_params, real, fake):
+            rs, gs, fr2, fg2 = self.mrd.apply(
+                {"params": mrd_params}, real, fake, paired=False)
+            return feature_loss(fr2, fg2), generator_loss(gs)[0]
+
+        if cfg.remat_disc:
+            _mpd_gen_losses = jax.checkpoint(_mpd_gen_losses)
+            _mrd_gen_losses = jax.checkpoint(_mrd_gen_losses)
+
         def downstream_loss(score, y_est):
             l_score = jnp.mean((sigma[:, None, None] * score + z) ** 2)
             mel_y = model.compute_mel_spec(y_est)
             loss_mel = jnp.mean(jnp.abs(mel_y - mel_target))
 
-            # paired=False: only the fake half needs input gradients here
-            rf, gf, fr, fg = self.mpd.apply(
-                {"params": new_disc_params["mpd"]}, target_original, y_est,
-                paired=False)
-            loss_fm_f = feature_loss(fr, fg)
-            loss_gen_f, _ = generator_loss(gf)
-            rs, gs, fr2, fg2 = self.mrd.apply(
-                {"params": new_disc_params["mrd"]}, target_original, y_est,
-                paired=False)
-            loss_fm_s = feature_loss(fr2, fg2)
-            loss_gen_s, _ = generator_loss(gs)
+            loss_fm_f, loss_gen_f = _mpd_gen_losses(
+                new_disc_params["mpd"], target_original, y_est)
+            loss_fm_s, loss_gen_s = _mrd_gen_losses(
+                new_disc_params["mrd"], target_original, y_est)
 
             loss = (cfg.weight_score * l_score
                     + cfg.weight_mel_l1 * loss_mel

@@ -164,8 +164,13 @@ class MdnTrainer:
 
     def compute_losses(self, params, mix, target, key,
                        time_sampling=None, t_min=0.0, t_max=1.0,
-                       train: bool = True, sigma_pr_cum=None):
-        """Score + MDN losses on a *normalized* (mix, target) pair."""
+                       train: bool = True, sigma_pr_cum=None,
+                       fixed_noise=None):
+        """Score + MDN losses on a *normalized* (mix, target) pair.
+
+        ``fixed_noise=(sigma, z)`` replaces the PRNG draws for
+        identical-noise parity tests vs the reference
+        ``Universe.compute_losses`` (universe.py:472-542)."""
         cfg = self.cfg
         model = self.model
         ts = time_sampling or cfg.time_sampling
@@ -178,11 +183,14 @@ class MdnTrainer:
         mix, _ = model.apply_transform(mix)
         target, _ = model.apply_transform(target)
 
-        sigma, _ = sample_sigma(
-            ks, mix.shape[0], model.cfg.diffusion, ts, t_min=t_min,
-            t_max=t_max, adaptive_pr_cum=sigma_pr_cum,
-            adaptive_bins=jnp.linspace(0.0, 1.0, cfg.adaptive_n_bins + 1))
-        z = jax.random.normal(kz, target.shape, target.dtype)
+        if fixed_noise is not None:
+            sigma, z = fixed_noise
+        else:
+            sigma, _ = sample_sigma(
+                ks, mix.shape[0], model.cfg.diffusion, ts, t_min=t_min,
+                t_max=t_max, adaptive_pr_cum=sigma_pr_cum,
+                adaptive_bins=jnp.linspace(0.0, 1.0, cfg.adaptive_n_bins + 1))
+            z = jax.random.normal(kz, target.shape, target.dtype)
         x_t = target + sigma[:, None, None] * z
 
         gen = {"score": params["score"], "cond": params["cond"]}

@@ -11,7 +11,8 @@ import jax.numpy as jnp
 
 
 def _norm2(x, eps=1e-5):
-    return jnp.maximum(jnp.std(x, axis=(1, 2), keepdims=True), eps)
+    # torch.Tensor.std is UNBIASED (N-1 denominator); match it exactly
+    return jnp.maximum(jnp.std(x, axis=(1, 2), keepdims=True, ddof=1), eps)
 
 
 def _norm_max(x, eps=1e-5):

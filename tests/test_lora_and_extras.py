@@ -95,9 +95,12 @@ def test_lora_trainer_step():
     model = UniverseLoRATrainer.lora_ready_model(base_model)
     losses = MultiLoss({"multires": (1.0, MultiResL1SpecLoss(
         window_sz=(32,), hop_sz=(16,)))})
+    # lr high enough that 3 steps move the loss decisively (at 1e-4 the
+    # movement is ~1e-8/step — within float32 noise of the assertion)
     trainer = UniverseLoRATrainer(model, pre, losses,
                                   LoraTrainConfig(lora_rank=2,
-                                                  n_steps_backprop=1))
+                                                  n_steps_backprop=1,
+                                                  lr=1e-2))
     state = trainer.init(jax.random.PRNGKey(1))
     mix = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (2, T, 1))
     tgt = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (2, T, 1))

@@ -118,8 +118,10 @@ def test_normalize_denormalize_property():
                 m = np.asarray(mx)
                 assert abs(m.mean()) < 1e-3
                 if norm in (2, "2"):
+                    # unbiased std (torch semantics, utils/norm.py)
                     np.testing.assert_allclose(
-                        m.std(axis=(1, 2)), 10 ** (-26 / 20), rtol=1e-3)
+                        m.std(axis=(1, 2), ddof=1), 10 ** (-26 / 20),
+                        rtol=1e-3)
                 if ref == "noisy":
                     # target shares the mix statistics -> mix-target
                     # alignment is preserved exactly up to the gain

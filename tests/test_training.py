@@ -142,16 +142,24 @@ def test_gan_remat_matches(gan_setup):
         **TINY_GAN.__dict__, "remat": True}))
     mix, clean = _batch(jax.random.PRNGKey(14))
     key = jax.random.PRNGKey(15)
+    disc_remat_trainer = GanTrainer(trainer.model, GanTrainConfig(**{
+        **TINY_GAN.__dict__, "remat": True, "remat_disc": True}))
     s_ref, m_ref = jax.jit(trainer.train_step)(state, (mix, clean), key)
-    s_new, m_new = jax.jit(remat_trainer.train_step)(state, (mix, clean), key)
-    for k in m_ref:
-        np.testing.assert_allclose(float(m_ref[k]), float(m_new[k]),
-                                   rtol=1e-4, atol=1e-6, err_msg=k)
-    a = jax.tree_util.tree_leaves(s_ref.gen_params)
-    b = jax.tree_util.tree_leaves(s_new.gen_params)
-    for x, y in zip(a, b):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                   rtol=1e-4, atol=1e-5)
+    for other in (remat_trainer, disc_remat_trainer):
+        s_new, m_new = jax.jit(other.train_step)(state, (mix, clean), key)
+        for k in m_ref:
+            np.testing.assert_allclose(float(m_ref[k]), float(m_new[k]),
+                                       rtol=1e-4, atol=1e-6, err_msg=k)
+        a = jax.tree_util.tree_leaves(s_ref.gen_params)
+        b = jax.tree_util.tree_leaves(s_new.gen_params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-5)
+        d = jax.tree_util.tree_leaves(s_ref.disc_params)
+        e = jax.tree_util.tree_leaves(s_new.disc_params)
+        for x, y in zip(d, e):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-5)
 
 
 def test_mdn_accum_and_remat():
