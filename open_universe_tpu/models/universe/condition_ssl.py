@@ -24,13 +24,33 @@ from .condition import ConditionerDecoder, ConditionerEncoder
 
 def make_wav2vec2_feature_fn(model_path: str = "microsoft/wavlm-base",
                              feature_stage: str = "conv") -> Callable:
-    """Frozen flax SSL feature extractor: wav (B, T) -> (B, F_t, D).
+    """Frozen SSL feature extractor: wav (B, T) -> (B, F_t, D).
 
-    Requires local weights (transformers, local_files_only). WavLM has no
-    flax port, so wav2vec2 (same conv front-end family) is the backbone;
-    pass any local flax-compatible checkpoint path.
+    Requires local weights (transformers, local_files_only). WavLM
+    checkpoints (the reference's backbone, condition_wv2.py:25) load
+    through our own JAX WavLM (models/ssl/wavlm.py — parity-tested
+    torch->flax converter incl. the gated relative-position-bias
+    attention); other paths fall back to transformers' flax wav2vec2.
     """
     try:
+        from transformers import AutoConfig
+        hf_cfg = AutoConfig.from_pretrained(model_path,
+                                            local_files_only=True)
+        if hf_cfg.model_type == "wavlm":
+            from ..ssl.wavlm import load_wavlm, wavlm_forward
+            params, cfg = load_wavlm(model_path)
+
+            def feature_fn(wav):
+                hiddens = wavlm_forward(params, wav, cfg,
+                                        output_hidden_states=True)
+                # "conv" = the projected conv features (pre-transformer);
+                # hiddens[0] is post feature-projection + pos-embedding
+                # input, the closest analogue of extract_features at the
+                # same frame rate; hiddens[1] is the first encoder layer
+                return hiddens[0] if feature_stage == "conv" \
+                    else hiddens[1]
+
+            return feature_fn
         from transformers import FlaxWav2Vec2Model
         model = FlaxWav2Vec2Model.from_pretrained(model_path,
                                                   local_files_only=True)

@@ -11,13 +11,26 @@ import numpy as np
 
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
-    """Initialize multi-host JAX (no-op when single-process)."""
-    try:
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
-    except (ValueError, RuntimeError):
-        pass  # already initialized or single-host
+    """Initialize multi-host JAX (no-op when single-process).
+
+    Only calls ``jax.distributed.initialize`` when a coordinator is
+    actually configured (arguments or the standard env vars) — on some
+    backends an unconfigured initialize() BLOCKS waiting for cluster
+    discovery instead of raising (observed on the axon TPU platform).
+    """
+    import os
+
+    configured = coordinator_address is not None or any(
+        os.environ.get(v) for v in (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "JAX_NUM_PROCESSES", "MEGASCALE_COORDINATOR_ADDRESS"))
+    if configured:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        except (ValueError, RuntimeError):
+            pass  # already initialized or single-host
     return jax.process_index(), jax.process_count()
 
 
