@@ -16,7 +16,12 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("input", help="input wav file or folder")
     parser.add_argument("output", help="output wav file or folder")
-    parser.add_argument("--ckpt", required=True, help="checkpoint dir")
+    parser.add_argument("--ckpt", required=True,
+                        help="checkpoint dir, a reference torch "
+                             "weights.ckpt dir/file, or a hub spec "
+                             "repo_id[:revision] resolved against "
+                             "$OPEN_UNIVERSE_HUB_CACHE (reference "
+                             "model_loader.py:33-133 parity)")
     parser.add_argument("--step", default=None,
                         help="checkpoint step number, or 'best' for the "
                              "best-val/score checkpoint (default: latest)")
@@ -65,8 +70,10 @@ def main(argv=None):
     step = args.step
     if step is not None and step != "best":
         step = int(step)
+    from ..inference.model_hub import resolve_model_source
+    ckpt_dir = resolve_model_source(args.ckpt)
     model, params, cfg = load_model_for_inference(
-        args.ckpt, step=step, use_ema=not args.no_ema)
+        ckpt_dir, step=step, use_ema=not args.no_ema)
     # bf16-stored params on accelerators: the enhance path is HBM-bound and
     # re-reads the full weight set at every sampler step; bf16 storage halves
     # that traffic (+10% measured, output corr 1.000000 — PERF.md).
