@@ -42,3 +42,31 @@ def coverage_loss(attn, s_valid):
     num = jnp.sum(jnp.where(s_valid, token_cov, 0.0))
     den = jnp.maximum(jnp.sum(s_valid), 1.0)
     return num / den
+
+
+def phoneme_alignment_loss(attn, coords, coords_valid,
+                           slack_frames: float = 2.0):
+    """Forced-alignment supervision on the cross-attention map.
+
+    Parity target: the reference's ``align_phoneme`` loss
+    (universe_gan_NS_11May_tg.py:595-640): per token, the predicted
+    position is the argmax over frames of its attention column; the loss
+    is relu(|pred - center| - slack) where ``center`` is the token's
+    TextGrid span center in frames, averaged over valid tokens per
+    sample, then over samples that have any valid span. Re-designed
+    fully vectorized (the reference loops over samples in Python).
+
+    attn (B, Q, S) softmax weights; coords (B, S, 2) span [start, end) in
+    FRACTIONS of the utterance (0..1), scaled to frames here;
+    coords_valid (B, S) True where a real span exists.
+    """
+    b, q, s = attn.shape
+    pred = jnp.argmax(attn, axis=1).astype(jnp.float32)  # (B, S)
+    centers = jnp.mean(coords.astype(jnp.float32), axis=-1) * q  # frames
+    diff = jnp.maximum(jnp.abs(pred - centers) - slack_frames, 0.0)
+    tok_cnt = jnp.sum(coords_valid, axis=1)  # (B,)
+    per_ex = (jnp.sum(jnp.where(coords_valid, diff, 0.0), axis=1)
+              / jnp.maximum(tok_cnt, 1.0))
+    has_any = tok_cnt > 0
+    return (jnp.sum(jnp.where(has_any, per_ex, 0.0))
+            / jnp.maximum(jnp.sum(has_any), 1.0))

@@ -54,6 +54,9 @@ class TextConditionerNetwork(nn.Module):
     cross_attention_num_heads: int = 8
     attention_temperature: float = 0.6
     text_max_len: int = 128
+    # silsp variant: id of the prepended <sil> anchor token, masked out of
+    # cross-attention keys (textencoder_11May_silsp.py:262); -1 disables
+    text_sil_id: int = -1
 
     @property
     def total_ds(self):
@@ -90,7 +93,7 @@ class TextConditionerNetwork(nn.Module):
                 vocab_size=self.vocab_size, hidden=self.text_hidden,
                 n_layers=self.text_layers, global_dim=self.film_global_dim,
                 seq_dim=self.cross_attention_dim,
-                max_len=self.text_max_len,
+                max_len=self.text_max_len, sil_id=self.text_sil_id,
                 name="text_encoder")(text_ids, text_pad_mask)
             mel_pad = None
             if pad_mask is not None:

@@ -26,6 +26,9 @@ class TextConfig:
     cross_attention_num_heads: int = 8
     attention_temperature: float = 0.6
     text_max_len: int = 128
+    # silsp variant: <sil> anchor token id (CharTokenizer(sil_token=True)
+    # .sil_id); -1 disables
+    sil_id: int = -1
 
 
 class TextUniverseModel(UniverseModel):
@@ -52,6 +55,7 @@ class TextUniverseModel(UniverseModel):
             cross_attention_num_heads=text.cross_attention_num_heads,
             attention_temperature=text.attention_temperature,
             text_max_len=text.text_max_len,
+            text_sil_id=text.sil_id,
         )
 
     def init(self, key, example_len: int = 1600, batch: int = 1):

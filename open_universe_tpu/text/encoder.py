@@ -55,6 +55,11 @@ class TextEncoder(nn.Module):
     global_dim: int = 512
     seq_dim: int = 512
     max_len: int = 128
+    # >= 0 enables the silsp behavior (textencoder_11May_silsp.py:262):
+    # the <sil> anchor token is a real token for the backbone's
+    # self-attention and the (CLS-like) global pooling, but the returned
+    # cross-attention key mask excludes it (key_mask = PAD | sil).
+    sil_id: int = -1
 
     @nn.compact
     def __call__(self, token_ids, pad_mask):
@@ -62,6 +67,9 @@ class TextEncoder(nn.Module):
 
         Returns (global_emb (B, global_dim), seq_emb (B, S, seq_dim),
         key_pad_mask)."""
+        key_mask = pad_mask
+        if self.sil_id >= 0:
+            key_mask = pad_mask | (token_ids == self.sil_id)
         # out-of-vocab ids (tokenizer/model mismatch) clamp to the last id
         # rather than producing garbage embeddings
         token_ids = jnp.clip(token_ids, 0, self.vocab_size - 1)
@@ -83,4 +91,4 @@ class TextEncoder(nn.Module):
             jnp.sum(valid, axis=1), 1.0)
         g = nn.LayerNorm(name="global_norm")(pooled)
         global_emb = Dense(self.global_dim, name="fc_global")(g)
-        return global_emb, seq_emb, pad_mask
+        return global_emb, seq_emb, key_mask

@@ -20,7 +20,11 @@ import optax
 
 from ..diffusion.sigma_sampling import sample_sigma
 from ..losses.gan import discriminator_loss, feature_loss, generator_loss
-from ..losses.guided_attention import coverage_loss, guided_attention_loss
+from ..losses.guided_attention import (
+    coverage_loss,
+    guided_attention_loss,
+    phoneme_alignment_loss,
+)
 from ..models.universe.model_text import TextUniverseModel
 from .clipping import global_norm
 from .ema import ema_update
@@ -35,6 +39,11 @@ class TextGanTrainConfig(GanTrainConfig):
     ga_anneal_steps: int = 30000
     ga_sigma: float = 0.15
     text_warmup_steps: int = 5000
+    # TextGrid forced-alignment supervision (silsp_tg variant,
+    # universe_gan_NS_11May_tg.py:595-640); needs batch["text_coords"] +
+    # batch["text_coords_valid"]
+    weight_align_phoneme: float = 0.0
+    align_slack_frames: float = 2.0
 
 
 class TextGanTrainer(GanTrainer):
@@ -56,6 +65,8 @@ class TextGanTrainer(GanTrainer):
             mix, target = batch["mix"], batch["target"]
             text = (batch["text_ids"], batch["text_mask"])
             pad_mask = batch.get("pad_mask")
+            text_coords = batch.get("text_coords")
+            text_coords_valid = batch.get("text_coords_valid")
         else:
             # no-text batch: the plain GAN step (reference dual path)
             if isinstance(batch, dict):
@@ -160,6 +171,13 @@ class TextGanTrainer(GanTrainer):
                         + cfg.weight_head_diversity * div_loss)
                 aux.update({"ga": ga, "coverage": cov,
                             "head_div": div_loss})
+                if (cfg.weight_align_phoneme > 0.0
+                        and text_coords is not None):
+                    align = phoneme_alignment_loss(
+                        attn_map, text_coords, text_coords_valid,
+                        slack_frames=cfg.align_slack_frames)
+                    loss = loss + cfg.weight_align_phoneme * align
+                    aux["align_phoneme"] = align
             return loss, aux
 
         grad_fn = jax.value_and_grad(downstream_loss, argnums=(0, 1, 2, 3),

@@ -37,6 +37,9 @@ def main():
     if "--remat" in sys.argv:
         tcfg["remat"] = True
         print("remat: on", flush=True)
+    if "--remat-disc" in sys.argv:
+        tcfg["remat_disc"] = True
+        print("remat_disc: on", flush=True)
     if "--accum" in sys.argv:
         tcfg["accumulate_grad_batches"] = 2
     trainer = build_trainer(model, tcfg)
