@@ -108,10 +108,17 @@ def main(argv=None):
         step_fn = jax.jit(trainer.train_step, donate_argnums=(0,))
 
     tokenizer = None
+    coords_ds = None  # AlignedNoisyDataset with TextGrid span supervision
     if cfg["trainer"].get("kind") == "text_gan":
         from ..text import CharTokenizer
         tcfg = cfg["model"].get("text", {})
-        tokenizer = CharTokenizer(max_len=tcfg.get("text_max_len", 128))
+        tokenizer = CharTokenizer(max_len=tcfg.get("text_max_len", 128),
+                                  sil_token=tcfg.get("sil_token", False))
+        train_ds = dm.datasets.get("train")
+        if (hasattr(train_ds, "token_coords")
+                and getattr(train_ds, "textgrid_path", None) is not None):
+            train_ds.tokenizer = tokenizer
+            coords_ds = train_ds
 
     eval_metrics = EvalMetrics(audio_fs=cfg["model"].get("fs", 16000))
     ckpt_dir.mkdir(parents=True, exist_ok=True)
@@ -132,9 +139,14 @@ def main(argv=None):
     t_last = time.time()
     epoch = 0
     while step < max_steps:
-        for noisy, clean, txts, mask in dm.iter_split("train", epoch=epoch):
+        for item in dm.iter_split("train", epoch=epoch,
+                                  with_indices=coords_ds is not None):
             if step >= max_steps:
                 break
+            if coords_ds is not None:
+                (noisy, clean, txts, mask), idxs = item
+            else:
+                noisy, clean, txts, mask = item
             key, k_step = jax.random.split(key)
             if tokenizer is not None:
                 ids, tmask = tokenizer(txts)
@@ -143,6 +155,11 @@ def main(argv=None):
                          "text_ids": jnp.asarray(ids),
                          "text_mask": jnp.asarray(tmask),
                          "pad_mask": jnp.asarray(mask < 0.5)}
+                if coords_ds is not None:
+                    cs, vs = zip(*(coords_ds.token_coords(
+                        Path(coords_ds.file_list[i]).stem) for i in idxs))
+                    batch["text_coords"] = jnp.asarray(np.stack(cs))
+                    batch["text_coords_valid"] = jnp.asarray(np.stack(vs))
             else:
                 batch = (jnp.asarray(noisy), jnp.asarray(clean))
             state, metrics = step_fn(state, batch, k_step)

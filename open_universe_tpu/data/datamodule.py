@@ -22,10 +22,16 @@ class DataModule:
                  multiple_of: int = 160, num_workers: int = 4,
                  seed: int = 0, shard_rank: int = 0, shard_count: int = 1):
         """datasets: dict split -> NoisyDataset (or kwargs dict)."""
-        self.datasets = {
-            k: (v if isinstance(v, NoisyDataset) else NoisyDataset(**v))
-            for k, v in datasets.items()
-        }
+        def _build(v):
+            if isinstance(v, NoisyDataset):
+                return v
+            if "textgrid_path" in v:
+                from .textgrid import AlignedNoisyDataset
+
+                return AlignedNoisyDataset(**v)
+            return NoisyDataset(**v)
+
+        self.datasets = {k: _build(v) for k, v in datasets.items()}
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.seed = seed
@@ -47,8 +53,12 @@ class DataModule:
     def num_batches(self, split: str, epoch: int = 0) -> int:
         return len(self.batchers[split].epoch_batches(epoch))
 
-    def iter_split(self, split: str, epoch: int = 0, prefetch: int = 2):
-        """Yields (noisy (B,T,C), clean, txts, mask (B,T)) numpy batches."""
+    def iter_split(self, split: str, epoch: int = 0, prefetch: int = 2,
+                   with_indices: bool = False):
+        """Yields (noisy (B,T,C), clean, txts, mask (B,T)) numpy batches;
+        with ``with_indices=True`` yields (batch_tuple, dataset_indices)
+        so callers can attach per-utterance side data (e.g. TextGrid
+        alignment coords)."""
         ds = self.datasets[split]
         batcher = self.batchers[split]
         batches = batcher.epoch_batches(epoch)
@@ -60,7 +70,8 @@ class DataModule:
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 for bi, idxs in batches:
                     samples = list(pool.map(ds.__getitem__, idxs))
-                    q.put(batcher.collate(samples, bi))
+                    collated = batcher.collate(samples, bi)
+                    q.put((collated, idxs) if with_indices else collated)
             q.put(stop)
 
         th = threading.Thread(target=producer, daemon=True)

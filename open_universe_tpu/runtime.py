@@ -53,6 +53,13 @@ def build_model(model_cfg: dict) -> UniverseModel:
         **{k: (tuple(v) if isinstance(v, list) else v) for k, v in m.items()})
     if text_cfg:
         from .models.universe.model_text import TextConfig, TextUniverseModel
+
+        text_cfg = dict(text_cfg)
+        # `sil_token: true` (silsp variant): the tokenizer appends <sil>
+        # as the LAST vocab id, so sil_id == vocab_size - 1 once the
+        # vocab_size in the config already accounts for it
+        if text_cfg.pop("sil_token", False):
+            text_cfg.setdefault("sil_id", text_cfg["vocab_size"] - 1)
         return TextUniverseModel(cfg, TextConfig(**text_cfg))
     return UniverseModel(cfg)
 

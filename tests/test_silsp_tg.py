@@ -170,6 +170,75 @@ def test_aligned_dataset_token_coords(tmp_path):
     assert not valid2.any()
 
 
+@pytest.mark.slow
+def test_text_cli_train_with_textgrid(tmp_path):
+    """bin/train end-to-end: aligned dataset + sil token + align loss."""
+    import json
+
+    import yaml
+
+    from open_universe_tpu.bin.train import main as train_main
+    from open_universe_tpu.data.wavio import write_wav
+
+    fs, t_clip = 800, 320
+    data = tmp_path / "data"
+    txt = tmp_path / "txt"
+    tgd = tmp_path / "tg"
+    txt.mkdir()
+    tgd.mkdir()
+    rng = np.random.default_rng(0)
+    for split, n in [("train", 4), ("val", 2), ("test", 2)]:
+        for d in ("noisy", "clean"):
+            (data / split / d).mkdir(parents=True)
+        for i in range(n):
+            tt = np.arange(t_clip) / fs
+            clean = 0.1 * np.sin(2 * np.pi * (30 + 10 * i) * tt)
+            noisy = clean + 0.03 * rng.standard_normal(t_clip)
+            key = f"{split}_u{i}"
+            write_wav(data / split / "clean" / f"{key}.wav", clean, fs)
+            write_wav(data / split / "noisy" / f"{key}.wav", noisy, fs)
+            (txt / f"{key}.txt").write_text("hi you")
+            (tgd / f"{key}.TextGrid").write_text(TG)
+
+    tok = CharTokenizer(max_len=16, sil_token=True)
+    cfg = {
+        "name": "tiny-silsp-tg",
+        "model": {
+            "fs": fs, "rate_factors": [2, 4], "n_channels": 4,
+            "n_rff": 8, "noise_cond_dim": 32, "n_mels": 8,
+            "n_mel_oversample": 4, "extra_conv_block": True,
+            "use_weight_norm": True, "time_embedding": "simple",
+            "diffusion": {"n_steps": 3},
+            "normalization": {"norm": 2, "level_db": -26.0, "ref": "both"},
+            "text": {"vocab_size": tok.vocab_size, "sil_token": True,
+                     "text_hidden": 16, "text_layers": 1,
+                     "film_global_dim": 32, "cross_attention_dim": 32,
+                     "cross_attention_num_heads": 2, "text_max_len": 16},
+        },
+        "trainer": {
+            "kind": "text_gan", "mpd_periods": [2],
+            "mrd_resolutions": [[64, 16, 32]],
+            "t_warmup": 10, "t_cosine": 50, "t_max": 100,
+            "weight_align_phoneme": 0.5,
+        },
+        "datamodule": {
+            "audio_path": str(data), "fs": fs, "audio_len": 0.4,
+            "length_mode": "pad", "batch_size": 2, "num_workers": 2,
+            "text_path": str(txt), "textgrid_path": str(tgd),
+        },
+        "run": {"max_steps": 2, "val_every": 100, "log_every": 1,
+                "ckpt_every": 2, "ckpt_dir": str(tmp_path / "exp"),
+                "seed": 0},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    train_main(["--config", str(cfg_path)])
+    metrics = [json.loads(l) for l in
+               (tmp_path / "exp" / "metrics.jsonl").read_text().splitlines()]
+    assert any("train/align_phoneme" in m for m in metrics)
+
+
 def test_text_trainer_align_loss_step():
     tok = CharTokenizer(max_len=16, sil_token=True)
     tiny = UniverseConfig(
