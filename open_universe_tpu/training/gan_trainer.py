@@ -380,9 +380,11 @@ class GanTrainer:
         mix, _ = model.apply_transform(mix)
         target, _ = model.apply_transform(target)
         tb = jnp.linspace(0.0, 1.0, n_bins + 1)
-        # ONE conditioner forward (cond does not depend on the sigma bin),
-        # then ONE score forward with the bins folded into the batch axis —
-        # the reference loops the whole pipeline 5x (universe.py:613-628)
+        # ONE conditioner forward (cond does not depend on the sigma bin) —
+        # the reference re-runs the whole pipeline 5x (universe.py:613-628).
+        # The score forwards run as a lax.map over bins rather than one
+        # n_bins*B batch: at production size the folded batch OOMs 16 GB
+        # HBM next to the resident train state (observed on v5e).
         cond, _, _ = model.apply_cond(params, mix, x_wav=mix_wav)
         sigmas, zs = [], []
         for i in range(n_bins):
@@ -392,14 +394,17 @@ class GanTrainer:
                                     t_max=float(i + 1) / n_bins)
             sigmas.append(sigma)
             zs.append(jax.random.normal(kz, target.shape, target.dtype))
-        sigma = jnp.concatenate(sigmas, axis=0)            # (n_bins*B,)
-        z = jnp.concatenate(zs, axis=0)                    # (n_bins*B, T, C)
-        x_t = jnp.tile(target, (n_bins,) + (1,) * (target.ndim - 1)) \
-            + sigma[:, None, None] * z
-        cond_t = jax.tree_util.tree_map(
-            lambda c: jnp.tile(c, (n_bins,) + (1,) * (c.ndim - 1)), cond)
-        score = model.score_fn(params)(x_t, sigma, cond_t)
-        per_ex = jnp.mean((sigma[:, None, None] * score + z) ** 2,
-                          axis=tuple(range(1, score.ndim)))
-        losses = jnp.mean(per_ex.reshape(n_bins, -1), axis=1)
+        sigma = jnp.stack(sigmas)                          # (n_bins, B)
+        z = jnp.stack(zs)                                  # (n_bins, B, T, C)
+        score_fn = model.score_fn(params)
+
+        def one_bin(args):
+            sigma_b, z_b = args
+            x_t = target + sigma_b[:, None, None] * z_b
+            score = score_fn(x_t, sigma_b, cond)
+            per_ex = jnp.mean((sigma_b[:, None, None] * score + z_b) ** 2,
+                              axis=tuple(range(1, score.ndim)))
+            return jnp.mean(per_ex)
+
+        losses = jax.lax.map(one_bin, (sigma, z))
         return losses, tb
