@@ -26,8 +26,14 @@ def load(path):
 
 
 def series(rows, key):
-    pts = [(r["step"], r[key]) for r in rows if key in r]
-    return [p[0] for p in pts], [p[1] for p in pts]
+    # keep the LAST record per step (restarts from a checkpoint re-log
+    # the overlapping steps; the final attempt is the one that counts)
+    pts = {}
+    for r in rows:
+        if key in r:
+            pts[r["step"]] = r[key]
+    steps = sorted(pts)
+    return steps, [pts[s] for s in steps]
 
 
 def main():
