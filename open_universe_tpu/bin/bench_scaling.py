@@ -29,8 +29,16 @@ def main(argv=None):
                         help="small model (CPU validation)")
     args = parser.parse_args(argv)
 
+    import os
+
     import jax
-    import jax.numpy as jnp
+
+    # the axon sitecustomize pins jax_platforms=axon at interpreter start;
+    # an explicit JAX_PLATFORMS from the user (e.g. =cpu for a virtual
+    # mesh with XLA_FLAGS=--xla_force_host_platform_device_count=N) must
+    # still win — the config update is what actually takes effect.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from ..parallel import default_mesh, make_parallel_train_step
     from ..runtime import build_model, build_trainer

@@ -86,10 +86,30 @@ def main(argv=None):
     fs_model = cfg["model"].get("fs", 16000)
     kwargs = collect_enhance_kwargs(args, UniverseModel.enhance)
 
+    # resolve which checkpoint actually got loaded so outputs are
+    # self-describing (round-2 postmortem: an unlabeled eval silently
+    # scored a near-untrained model — VERDICT item 2ii)
+    from ..training.checkpoint import best_step, latest_step
+    resolved_step = step
+    if step == "best":
+        resolved_step = best_step(ckpt_dir)
+    elif step is None:
+        resolved_step = latest_step(ckpt_dir)
+    provenance = {"ckpt": str(ckpt_dir), "step_arg": args.step,
+                  "resolved_step": resolved_step, "param_dtype": pdtype,
+                  "compute_dtype": dtype, "ema": not args.no_ema,
+                  "seed": args.seed}
+    print("serving checkpoint: "
+          + " ".join(f"{k}={v}" for k, v in provenance.items()), flush=True)
+
+    import json
+
     in_path, out_path = Path(args.input), Path(args.output)
     if in_path.is_dir():
         files = sorted(p for p in in_path.glob("*.wav"))
         out_path.mkdir(parents=True, exist_ok=True)
+        with open(out_path / "enhance_meta.json", "w") as f:
+            json.dump(provenance, f, indent=2)
         pairs = [(p, out_path / p.name) for p in files]
     else:
         if out_path.suffix != ".wav":

@@ -21,11 +21,40 @@ import numpy as np
 
 
 def main(argv=None):
+    import sys
+
+    raw_argv = list(argv) if argv is not None else sys.argv[1:]
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", required=True)
     parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--fresh", action="store_true",
+                        help="archive a populated non-resumable ckpt_dir "
+                        "to <dir>.bak-N and start from step 0 (without "
+                        "this flag, starting fresh into a populated dir "
+                        "is refused; resumable dirs always resume)")
+    parser.add_argument("--supervise", action="store_true",
+                        help="run under the heartbeat watchdog: stalls "
+                        "(hung device RPC) and crashes auto-restart from "
+                        "the last checkpoint")
+    parser.add_argument("--stall-timeout", type=float, default=1800.0)
+    parser.add_argument("--max-restarts", type=int, default=20)
     parser.add_argument("overrides", nargs="*", default=[])
     args = parser.parse_args(argv)
+
+    if args.supervise:
+        # resolve ckpt_dir from config only — no jax, no device init in
+        # the supervisor process (it must survive a dead tunnel)
+        from pathlib import Path as _P
+
+        from ..config import load_config as _load
+        from ..training.watchdog import supervise_self
+
+        ckpt_dir = _P(_load(args.config, args.overrides)["run"]["ckpt_dir"])
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        raise SystemExit(supervise_self(
+            raw_argv, ckpt_dir / "heartbeat.json",
+            stall_timeout=args.stall_timeout,
+            max_restarts=args.max_restarts))
 
     import jax
     import jax.numpy as jnp
@@ -37,10 +66,13 @@ def main(argv=None):
     from ..runtime import build_datamodule, build_model, build_trainer
     from ..training.checkpoint import (
         latest_step,
+        prepare_run_dir,
         restore_checkpoint,
         save_best_checkpoint,
         save_checkpoint,
+        snapshot_best,
     )
+    from ..training.watchdog import write_heartbeat
     from ..training.cloud_sync import CloudBackup
     from ..utils.logging import MetricsLogger
 
@@ -49,6 +81,15 @@ def main(argv=None):
     run = cfg["run"]
     if args.max_steps is not None:
         run["max_steps"] = args.max_steps
+
+    # checkpoint-safety gate BEFORE anything touches the run dir: a
+    # resumable dir always resumes; a populated non-resumable dir is
+    # refused unless --fresh archives it (round-2 postmortem: a fresh
+    # restart pruned/overwrote a 4000-step chip asset)
+    if is_rank_zero():
+        run_info = prepare_run_dir(run["ckpt_dir"], fresh=args.fresh)
+        print(f"run_id={run_info['run_id']} resume={run_info['resume']}",
+              flush=True)
 
     # TPU production precision: params stay f32, matmul/conv operands are
     # cast (measured ~2x train-step throughput; bf16 output correlates
@@ -129,10 +170,17 @@ def main(argv=None):
     if backup.enabled:
         backup.trigger()
 
+    heartbeat_file = ckpt_dir / "heartbeat.json"
+
     def log(step, metrics, prefix=""):
         mlog.log(step, metrics)
         msg = " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
         print(f"[{prefix}{step}] {msg}", flush=True)
+        # metrics were fetched from the device, so the chip is provably
+        # alive — beat the watchdog (training/watchdog.py)
+        write_heartbeat(heartbeat_file, step)
+
+    write_heartbeat(heartbeat_file, start_step)
 
     step = start_step
     max_steps = run["max_steps"]
@@ -182,15 +230,18 @@ def main(argv=None):
                 if score is not None and is_rank_zero() and \
                         save_best_checkpoint(ckpt_dir, step,
                                              jax.device_get(state), score):
+                    if run.get("best_snapshot_dir"):
+                        snapshot_best(ckpt_dir, run["best_snapshot_dir"])
                     backup.trigger()
 
             if step % run.get("ckpt_every", 5000) == 0:
                 save_checkpoint(ckpt_dir, step, jax.device_get(state),
-                                config=cfg)
+                                config=cfg, keep_last=run.get("keep_last", 2))
                 backup.trigger()
         epoch += 1
 
-    save_checkpoint(ckpt_dir, step, jax.device_get(state), config=cfg)
+    save_checkpoint(ckpt_dir, step, jax.device_get(state), config=cfg,
+                    keep_last=run.get("keep_last", 2))
     backup.trigger()
     backup.wait()
     mlog.close()

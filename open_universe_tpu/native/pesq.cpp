@@ -10,12 +10,19 @@
 // metrics kernel(s)"). It is written from the published algorithm
 // description, NOT derived from the ITU reference code, and therefore is
 // a *PESQ-compatible* scorer rather than a bit-exact P.862 conformance
-// implementation. Documented simplifications:
-//   - a single global delay (crude envelope alignment + fine waveform
-//     cross-correlation) instead of per-utterance variable delay with
-//     utterance splitting — exact for the enhancement-evaluation use case
-//     where reference and degraded files are already aligned;
-//   - no "bad interval" re-alignment pass;
+// implementation. Time alignment follows the standard's structure:
+//   - crude global delay from 4 ms log-energy envelopes + fine waveform
+//     cross-correlation;
+//   - per-utterance VARIABLE delay: energy-VAD utterance segmentation on
+//     the reference, each utterance independently re-aligned around the
+//     global delay, with recursive utterance SPLITTING when the two
+//     halves align better at different delays (time-warped degraded
+//     signals);
+//   - a BAD-INTERVAL re-alignment pass: runs of frames whose symmetric
+//     disturbance exceeds the badness threshold are re-aligned by
+//     waveform correlation and re-scored; the lower disturbance wins
+//     (P.862 §10.2's re-alignment of badly-matching sections).
+// Remaining documented simplification:
 //   - Bark bands are generated analytically (uniform on the Zwicker
 //     13*atan(0.00076 f) + 3.5*atan((f/7500)^2) scale) and the absolute
 //     hearing threshold from Terhardt's approximation, instead of the
@@ -188,6 +195,182 @@ int64_t estimate_delay(const std::vector<double>& ref,
     return fine;
 }
 
+// Best delay for ref[s:e) against deg, searched in [center-radius,
+// center+radius] by FFT cross-correlation.  conf_out gets the normalized
+// correlation peak (0..1) used by the utterance-splitting decision.
+int64_t segment_delay(const std::vector<double>& ref,
+                      const std::vector<double>& deg,
+                      int64_t s, int64_t e, int64_t center, int64_t radius,
+                      double* conf_out) {
+    const int64_t n_deg = (int64_t)deg.size();
+    int64_t ws = s + center - radius, we = e + center + radius;
+    ws = std::max<int64_t>(ws, 0);
+    we = std::min<int64_t>(we, n_deg);
+    if (conf_out) *conf_out = 0.0;
+    if (we - ws < e - s || e <= s) return center;
+    const int64_t na = e - s, nb = we - ws;
+    size_t nfft = 1;
+    while ((int64_t)nfft < na + nb) nfft <<= 1;
+    std::vector<std::complex<double>> A(nfft), B(nfft);
+    double ea = 0;
+    for (int64_t i = 0; i < na; i++) { A[i] = ref[s + i]; ea += ref[s + i] * ref[s + i]; }
+    for (int64_t i = 0; i < nb; i++) B[i] = deg[ws + i];
+    if (ea < 1e-12) return center;
+    fft_inplace(A, false);
+    fft_inplace(B, false);
+    for (size_t i = 0; i < nfft; i++) A[i] = B[i] * std::conj(A[i]);
+    fft_inplace(A, true);
+    // corr(o) = sum_i ref[s+i] * deg[ws+o+i], offset o in [0, nb-na]
+    // running energy of the deg window for normalized confidence
+    std::vector<double> e_deg(nb + 1, 0.0);
+    for (int64_t i = 0; i < nb; i++)
+        e_deg[i + 1] = e_deg[i] + deg[ws + i] * deg[ws + i];
+    int64_t best_o = center - (ws - s);
+    double bm = -1e300, bconf = 0.0;
+    for (int64_t o = 0; o <= nb - na; o++) {
+        double v = A[(size_t)o].real();
+        double eb = e_deg[o + na] - e_deg[o];
+        double conf = (eb > 1e-12) ? v / std::sqrt(ea * eb) : 0.0;
+        if (conf > bm) { bm = conf; best_o = o; bconf = conf; }
+    }
+    if (conf_out) *conf_out = bconf;
+    return best_o + (ws - s);  // delay d such that deg[i + d] ~ ref[i]
+}
+
+// Per-utterance variable-delay alignment (the role of P.862 utterance
+// splitting): one base delay for the utterance, then an 80 ms sliding-
+// window delay track (hop 20 ms, searched around the base delay) with a
+// changepoint walk — the delay switches where >= 3 consecutive
+// confident windows agree on a different value, which places delay
+// transitions within one window hop of the true warp point instead of
+// at an arbitrary recursive-bisection boundary.  Low-energy windows
+// carry no vote, so warps inside silence resolve to the first confident
+// window of the new delay (the silent gap itself is alignment-neutral).
+void align_utterance(const std::vector<double>& ref,
+                     const std::vector<double>& deg,
+                     int64_t s, int64_t e, int64_t center, int64_t radius,
+                     int fs, std::vector<int64_t>& dmap) {
+    double conf0 = 0.0;
+    int64_t base_d = segment_delay(ref, deg, s, e, center, radius, &conf0);
+    const int64_t wlen = (int64_t)(0.08 * fs), whop = (int64_t)(0.02 * fs);
+    if (e - s < 2 * wlen) {
+        for (int64_t i = s; i < e; i++) dmap[i] = base_d;
+        return;
+    }
+    struct Win { int64_t start, delay; double conf; };
+    std::vector<Win> track;
+    double peak_en = 1e-12;
+    for (int64_t w = s; w + wlen <= e; w += whop) {
+        double en = 0;
+        for (int64_t i = w; i < w + wlen; i++) en += ref[i] * ref[i];
+        peak_en = std::max(peak_en, en);
+        double c = 0.0;
+        int64_t d = segment_delay(ref, deg, w, w + wlen, base_d, radius, &c);
+        track.push_back({w, d, en > 0 ? c : 0.0});
+        track.back().conf *= (en > 1e-4 * peak_en) ? 1.0 : 0.0;
+    }
+    // re-zero low-energy windows against the FINAL peak (peak_en grows
+    // during the scan)
+    {
+        std::vector<double> en(track.size());
+        for (size_t i = 0; i < track.size(); i++) {
+            double v = 0;
+            for (int64_t j = track[i].start; j < track[i].start + wlen; j++)
+                v += ref[j] * ref[j];
+            en[i] = v;
+        }
+        for (size_t i = 0; i < track.size(); i++)
+            if (en[i] <= 1e-4 * peak_en) track[i].conf = 0.0;
+    }
+    const double kConf = 0.6;
+    const int kAgree = 3;
+    int64_t cur = base_d;
+    std::vector<std::pair<int64_t, int64_t>> trans;  // (sample, new delay)
+    for (size_t i = 0; i < track.size(); i++) {
+        if (track[i].conf < kConf || std::llabs(track[i].delay - cur) <= 4)
+            continue;
+        // require the next kAgree confident windows to agree
+        int agree = 0;
+        size_t j = i;
+        for (; j < track.size() && agree < kAgree; j++) {
+            if (track[j].conf < kConf) continue;
+            if (std::llabs(track[j].delay - track[i].delay) <= 4) agree++;
+            else break;
+        }
+        if (agree >= kAgree) {
+            cur = track[i].delay;
+            trans.emplace_back(track[i].start, cur);
+        }
+    }
+    int64_t d = base_d;
+    size_t t = 0;
+    for (int64_t i = s; i < e; i++) {
+        while (t < trans.size() && i >= trans[t].first) d = trans[t++].second;
+        dmap[i] = d;
+    }
+}
+
+// Energy-VAD utterance segmentation of the reference (4 ms hop, -35 dB
+// of-peak activity rule, 200 ms gap merging, 300 ms minimum utterance)
+// followed by per-utterance variable-delay alignment.  Returns the
+// per-sample delay map (silence inherits the preceding utterance's
+// delay; leading silence the first utterance's).
+std::vector<int64_t> variable_delay_map(const std::vector<double>& ref,
+                                        const std::vector<double>& deg,
+                                        int fs) {
+    const int64_t n = (int64_t)ref.size();
+    const int64_t global_d = estimate_delay(ref, deg, fs);
+    std::vector<int64_t> dmap(n, global_d);
+    const int hop = fs / 250;  // 4 ms
+    const int64_t nfr = n / hop;
+    if (nfr < 8) return dmap;
+    std::vector<double> en(nfr);
+    double pk = 1e-12;
+    for (int64_t k = 0; k < nfr; k++) {
+        double s = 0;
+        for (int j = 0; j < hop; j++) s += ref[k * hop + j] * ref[k * hop + j];
+        en[k] = s;
+        pk = std::max(pk, s);
+    }
+    std::vector<char> act(nfr);
+    for (int64_t k = 0; k < nfr; k++) act[k] = en[k] > pk * 3.16e-4;
+    // merge gaps < 200 ms, collect utterances >= 300 ms
+    const int64_t gap_fr = 50, min_fr = 75;
+    std::vector<std::pair<int64_t, int64_t>> utts;
+    int64_t us = -1, last_act = -1;
+    for (int64_t k = 0; k <= nfr; k++) {
+        bool a = k < nfr && act[k];
+        if (a) {
+            if (us < 0) us = k;
+            else if (k - last_act > gap_fr) {
+                if (last_act + 1 - us >= min_fr)
+                    utts.emplace_back(us, last_act + 1);
+                us = k;
+            }
+            last_act = k;
+        }
+    }
+    if (us >= 0 && last_act + 1 - us >= min_fr)
+        utts.emplace_back(us, last_act + 1);
+    if (utts.empty()) return dmap;
+    const int64_t radius = (int64_t)(0.075 * fs);  // +-75 ms search
+    for (auto& u : utts)
+        align_utterance(ref, deg, u.first * hop,
+                        std::min(u.second * hop, n), global_d, radius,
+                        fs, dmap);
+    // silence inherits the neighbouring utterance's delay
+    int64_t first_s = utts.front().first * hop;
+    for (int64_t i = 0; i < first_s; i++) dmap[i] = dmap[first_s];
+    for (size_t ui = 0; ui + 1 < utts.size(); ui++) {
+        int64_t ge = utts[ui].second * hop;      // gap start
+        int64_t gs_next = utts[ui + 1].first * hop;
+        for (int64_t i = ge; i < gs_next; i++) dmap[i] = dmap[ge - 1];
+    }
+    int64_t last_e = std::min(utts.back().second * hop, n);
+    for (int64_t i = last_e; i < n; i++) dmap[i] = dmap[last_e - 1];
+    return dmap;
+}
+
 // ------------------------------------------------------- perceptual model
 struct BandLayout {
     std::vector<int> lo_bin, hi_bin;      // [lo, hi) FFT bin range
@@ -280,19 +463,14 @@ PesqResult pesq_core(const float* ref_in, int64_t n_ref, const float* deg_in,
         for (double& x : *v) x -= m;
     }
 
-    // global time alignment; shift degraded so deg[i + d] ~ ref[i]
-    int64_t d = estimate_delay(ref, deg, fs);
-    int64_t n = std::min<int64_t>((int64_t)ref.size(),
-                                  (int64_t)deg.size() - d);
-    if (d < 0) n = std::min<int64_t>((int64_t)ref.size() + d,
-                                     (int64_t)deg.size() - std::max<int64_t>(d, 0));
-    // build aligned views
-    std::vector<double> r2, g2;
+    // time alignment: per-utterance variable delay (with recursive
+    // utterance splitting); deg[i + dmap[i]] ~ ref[i].  Out-of-range
+    // samples are zero-filled so frame indexing stays 1:1 with ref.
+    std::vector<int64_t> dmap = variable_delay_map(ref, deg, fs);
+    std::vector<double> r2 = ref, g2(ref.size(), 0.0);
     for (int64_t i = 0; i < (int64_t)ref.size(); i++) {
-        int64_t j = i + d;
-        if (j < 0 || j >= (int64_t)deg.size()) continue;
-        r2.push_back(ref[i]);
-        g2.push_back(deg[j]);
+        int64_t j = i + dmap[i];
+        if (j >= 0 && j < (int64_t)deg.size()) g2[i] = deg[j];
     }
     if ((int64_t)r2.size() < fs / 4) { R.err = -3; return R; }
 
@@ -389,9 +567,10 @@ PesqResult pesq_core(const float* ref_in, int64_t n_ref, const float* deg_in,
         double g = std::pow(10.0, 7.9) / std::max(tot / std::max(cnt, 1), 1e-20);
         for (auto& fr : B)
             for (double& v : fr) v *= g;
+        return g;
     };
     calibrate(Br);
-    calibrate(Bg);
+    double cal_g = calibrate(Bg);  // kept for bad-interval re-scoring
 
     // ---- partial frequency response compensation (applied to reference)
     for (int b = 0; b < NB; b++) {
@@ -409,6 +588,7 @@ PesqResult pesq_core(const float* ref_in, int64_t n_ref, const float* deg_in,
     // ---- smoothed short-term gain compensation (applied to degraded)
     double gsm = 1.0;
     std::vector<std::vector<double>> Bgc = Bg;
+    std::vector<double> gks(nframes, 1.0);  // per-frame factor, for re-scoring
     for (int k = 0; k < nframes; k++) {
         double tr = 0, tg = 0;
         for (int b = 0; b < NB; b++) {
@@ -418,18 +598,22 @@ PesqResult pesq_core(const float* ref_in, int64_t n_ref, const float* deg_in,
         double h = (tr + 5e3) / (tg + 5e3);
         gsm = 0.8 * gsm + 0.2 * h;
         double gk = std::min(std::max(gsm, 3e-4), 5.0);
+        gks[k] = gk;
         for (int b = 0; b < NB; b++) Bgc[k][b] = Bg[k][b] * gk;
     }
 
-    // ---- loudness, disturbance, aggregation ----
+    // ---- loudness, disturbance ----
     std::vector<double> D(nframes, 0.0), DA(nframes, 0.0);
     double W = 0;  // total Bark width, for the pseudo-Lp band norm
     for (int b = 0; b < NB; b++) W += L.width_bark[b];
-    for (int k = 0; k < nframes; k++) {
+    // disturbance of frame k given a (compensated) degraded Bark density;
+    // shared by the main pass and the bad-interval re-scoring pass
+    auto frame_disturbance = [&](int k, const double* bgc,
+                                 double* d_out, double* da_out) {
         double d2 = 0, da = 0;
         for (int b = 0; b < NB; b++) {
             double lr = zwicker_loudness(Br[k][b], L.thresh[b], c.sl);
-            double lg = zwicker_loudness(Bgc[k][b], L.thresh[b], c.sl);
+            double lg = zwicker_loudness(bgc[b], L.thresh[b], c.sl);
             double diff = lg - lr;
             double m = 0.25 * std::min(lr, lg);
             double dd = (std::fabs(diff) <= m)
@@ -438,7 +622,7 @@ PesqResult pesq_core(const float* ref_in, int64_t n_ref, const float* deg_in,
             double w = L.width_bark[b];
             d2 += (dd * w) * (dd * w);
             // asymmetry factor
-            double ratio = (Bgc[k][b] + 50.0) / (Br[k][b] + 50.0);
+            double ratio = (bgc[b] + 50.0) / (Br[k][b] + 50.0);
             double af = std::pow(ratio, 1.2);
             if (af < 3.0) af = 0.0;
             af = std::min(af, 12.0);
@@ -449,10 +633,59 @@ PesqResult pesq_core(const float* ref_in, int64_t n_ref, const float* deg_in,
         double Dk = std::sqrt(d2 / W) * W;
         // emphasise audible frames; 0.04-power weighting per the standard
         double wk = std::pow((pr[k] + 1e5) / 1e7, 0.04);
-        Dk = std::min(Dk / wk, 45.0);
-        double DAk = std::min(da / wk, 45.0);
-        D[k] = Dk;
-        DA[k] = DAk;
+        *d_out = std::min(Dk / wk, 45.0);
+        *da_out = std::min(da / wk, 45.0);
+    };
+    for (int k = 0; k < nframes; k++)
+        frame_disturbance(k, Bgc[k].data(), &D[k], &DA[k]);
+
+    // ---- bad-interval re-alignment (P.862 §10.2): runs of frames whose
+    // symmetric disturbance exceeds the badness threshold are re-aligned
+    // by waveform correlation against the ORIGINAL degraded signal and
+    // re-scored through the same compensation state; the lower
+    // disturbance wins (a mis-alignment must not masquerade as audible
+    // distortion).
+    {
+        const double kBad = 30.0;
+        const int64_t radius = (int64_t)(0.075 * fs);
+        std::vector<std::complex<double>> buf(N);
+        int k = 0;
+        while (k < nframes) {
+            if (D[k] <= kBad) { k++; continue; }
+            int k1 = k;
+            while (k1 + 1 < nframes && D[k1 + 1] > kBad) k1++;
+            // sample span of the bad interval in reference time
+            int64_t s0 = (int64_t)k * H;
+            int64_t s1 = std::min<int64_t>((int64_t)k1 * H + N,
+                                           (int64_t)r2.size());
+            int64_t d_cur = dmap[std::min<size_t>(s0, dmap.size() - 1)];
+            double conf = 0.0;
+            int64_t d_new = segment_delay(ref, deg, s0, s1, d_cur, radius,
+                                          &conf);
+            if (d_new != d_cur && conf > 0.0) {
+                for (int kk = k; kk <= k1; kk++) {
+                    // rebuild the degraded frame at the candidate delay
+                    for (int i = 0; i < N; i++) {
+                        int64_t j = (int64_t)kk * H + i + d_new;
+                        double v = (j >= 0 && j < (int64_t)deg.size())
+                                       ? deg[j] : 0.0;
+                        buf[i] = v * win[i];
+                    }
+                    fft_inplace(buf, false);
+                    std::vector<double> pow_bins(nbins);
+                    for (int i = 0; i < nbins; i++)
+                        pow_bins[i] = std::norm(buf[i]) * filt[i] * gg;
+                    std::vector<double> bg(NB), bgc(NB);
+                    bark_bands(c, L, pow_bins.data(), bg.data());
+                    for (int b = 0; b < NB; b++)
+                        bgc[b] = bg[b] * cal_g * gks[kk];
+                    double dn, dan;
+                    frame_disturbance(kk, bgc.data(), &dn, &dan);
+                    if (dn < D[kk]) { D[kk] = dn; DA[kk] = dan; }
+                }
+            }
+            k = k1 + 1;
+        }
     }
 
     // split-second aggregation: L6 over 20-frame windows (hop 10), then L2
@@ -508,6 +741,16 @@ double pesq_raw(const float* ref, int64_t n_ref, const float* deg,
     PesqResult r = pesq_core(ref, n_ref, deg, n_deg, fs);
     if (r.err) return std::nan("");
     return r.raw;
+}
+
+// Diagnostics: per-sample delay map from the variable-delay aligner
+// (out must hold n_ref int64s). Returns 0.
+int32_t pesq_delay_map(const float* ref, int64_t n_ref, const float* deg,
+                       int64_t n_deg, int32_t fs, int64_t* out) {
+    std::vector<double> r(ref, ref + n_ref), d(deg, deg + n_deg);
+    std::vector<int64_t> dmap = variable_delay_map(r, d, fs);
+    std::memcpy(out, dmap.data(), sizeof(int64_t) * n_ref);
+    return 0;
 }
 
 // Diagnostics: writes [raw, mos, d_sym, d_asym] into out4. Returns 0 / err.

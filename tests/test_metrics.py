@@ -219,3 +219,52 @@ def test_lps_with_stub_predictor():
     y = x.copy()
     y[8000:] *= 3.0
     assert lps(y, x) < 1.0
+
+
+def test_native_pesq_variable_delay_and_warp():
+    """P.862 time-alignment structure (native/pesq.cpp): constant delays
+    of any size are removed exactly by the aligner; a piecewise delay
+    change (time warp) placed in silence is recovered by the windowed
+    delay track + changepoint walk (the utterance-splitting capability),
+    leaving the score at the identity ceiling."""
+    from open_universe_tpu.metrics.pesq import native_pesq
+
+    fs = 16000
+    rng = np.random.default_rng(3)
+    t = np.arange(int(fs * 3.0)) / fs
+    ph = np.cumsum(2 * np.pi * 120 *
+                   (1 + 0.1 * np.sin(2 * np.pi * 2.1 * t)) / fs)
+    x = sum(np.sin(h * ph) / h for h in range(1, 12))
+    gate = np.clip(np.sin(2 * np.pi * 1.0 * t), 0, None)  # 0.5 s silences
+    x = (x * gate + 1e-4 * rng.standard_normal(len(t))).astype(np.float32)
+    x = (x / np.abs(x).max() * 0.3).astype(np.float32)
+    ident = native_pesq(fs, x, x, "wb")
+    assert ident > 4.6
+
+    # constant 300 ms delay: exact removal
+    sh = np.concatenate([np.zeros(int(0.3 * fs), np.float32), x])
+    assert abs(native_pesq(fs, x, sh, "wb") - ident) < 0.02
+
+    # piecewise warp: +40 ms inserted inside a silent trough mid-signal
+    mid = int(1.5 * fs)  # sin(2*pi*1.0*1.5s) = 0 -> silence region
+    pw = np.concatenate([x[:mid], np.zeros(int(0.04 * fs), np.float32),
+                         x[mid:]])
+    assert abs(native_pesq(fs, x, pw, "wb") - ident) < 0.1
+
+    # delay map diagnostic: the map must change value near the warp point
+    import ctypes
+
+    from open_universe_tpu.metrics.pesq import _LIB_PATH
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.pesq_delay_map.restype = ctypes.c_int32
+    lib.pesq_delay_map.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
+    out = np.zeros(len(x), np.int64)
+    lib.pesq_delay_map(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x),
+        pw.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(pw),
+        fs, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    assert out[len(x) // 10] == 0            # before the warp
+    assert out[-len(x) // 10] == int(0.04 * fs)  # after the warp
