@@ -37,6 +37,21 @@ def main(argv=None):
     parser.add_argument("--pallas-gru", action="store_true",
                         help="fused Pallas GRU recurrence (TPU serving)")
     parser.add_argument("--seed", type=int, default=682479040)
+    parser.add_argument("--batch", type=int, default=1,
+                        help="process N same-length-bucket files per "
+                             "sampler call (throughput mode for folder "
+                             "inputs; the reference enhances one file at "
+                             "a time, bin/enhance.py:173-192). Note: the "
+                             "sampler noise is drawn per batch, so "
+                             "outputs differ (seeded, valid) from "
+                             "--batch 1's file-sequential draws")
+    parser.add_argument("--chunk-seconds", type=float, default=None,
+                        help="enhance very long files in fixed-size "
+                             "chunks with cross-faded overlap-add "
+                             "(bounded memory, one XLA compile; "
+                             "inference/streaming.py). The reference "
+                             "processes long inputs whole")
+    parser.add_argument("--overlap-seconds", type=float, default=0.5)
     parser.add_argument("--text-dir", default=None,
                         help="folder of <stem>.txt transcripts for "
                              "text-conditioned models (enhance_NS parity)")
@@ -134,40 +149,79 @@ def main(argv=None):
     def enhance_text(params, mix, key, ids, mask):
         return model.enhance(params, mix, key, text=(ids, mask), **kwargs)
 
-    for src, dst in pairs:
+    def load_one(src):
         wav, fs = read_wav(src)
         x = wav[:, 0]
         if fs != fs_model:
             from scipy.signal import resample_poly
             g = math.gcd(fs, fs_model)
             x = resample_poly(x, fs_model // g, fs // g)
-        key, k = jax.random.split(key)
         # pad to a coarse length grid so jit compiles once per bucket,
         # not once per file length
         t = len(x)
         grid = model.tot_ds * 25  # 0.25 s at 16 kHz
         t_pad = -(-t // grid) * grid
-        xp = np.pad(x, (0, t_pad - t))
-        txt = None
-        if tokenizer is not None:
-            tp = Path(args.text_dir) / f"{src.stem}.txt"
-            if tp.exists():
-                txt = tp.read_text().strip()
-                if txt == "<not-available>":
-                    txt = None
-        if txt:
-            ids, mask = tokenizer([txt])
-            est = enhance_text(params, jnp.asarray(xp, jnp.float32)[None, :],
-                               k, jnp.asarray(ids), jnp.asarray(mask))[0]
-        else:
-            est = enhance(params, jnp.asarray(xp, jnp.float32), k)
-        est = np.asarray(est)[:t]
+        return np.pad(x, (0, t_pad - t)), t, fs
+
+    def write_one(dst, est, t, fs, src):
+        est = np.asarray(est, np.float32)[:t]
         if fs != fs_model:
             from scipy.signal import resample_poly
             g = math.gcd(fs, fs_model)
             est = resample_poly(est, fs // g, fs_model // g)
         write_wav(dst, est, fs)
         print(f"{src} -> {dst}")
+
+    def text_for(src):
+        if tokenizer is None:
+            return None
+        tp = Path(args.text_dir) / f"{src.stem}.txt"
+        if tp.exists():
+            txt = tp.read_text().strip()
+            if txt != "<not-available>":
+                return txt
+        return None
+
+    if args.batch > 1 and tokenizer is None and len(pairs) > 1:
+        # throughput mode: group files into same-padded-length buckets
+        # and run the 8-step sampler once per batch — the sampler is the
+        # hot loop and batches near-linearly on the MXU (PERF.md: 1289
+        # audio-s/s/chip at batch 128 vs ~161x realtime at batch 1)
+        loaded = [(src, dst, *load_one(src)) for src, dst in pairs]
+        buckets = {}
+        for item in loaded:
+            buckets.setdefault(len(item[2]), []).append(item)
+        for t_pad in sorted(buckets):
+            items = buckets[t_pad]
+            for i in range(0, len(items), args.batch):
+                chunk = items[i:i + args.batch]
+                xs = np.stack([c[2] for c in chunk])
+                key, k = jax.random.split(key)
+                est = enhance(params, jnp.asarray(xs, jnp.float32), k)
+                est = np.asarray(est)
+                for (src, dst, _xp, t, fs), e in zip(chunk, est):
+                    write_one(dst, e, t, fs, src)
+        return
+
+    for src, dst in pairs:
+        xp, t, fs = load_one(src)
+        key, k = jax.random.split(key)
+        if args.chunk_seconds:
+            from ..inference import enhance_streaming
+            est = enhance_streaming(model, params, xp[:t], k,
+                                    chunk_seconds=args.chunk_seconds,
+                                    overlap_seconds=args.overlap_seconds,
+                                    **kwargs)
+            write_one(dst, np.asarray(est), t, fs, src)
+            continue
+        txt = text_for(src)
+        if txt:
+            ids, mask = tokenizer([txt])
+            est = enhance_text(params, jnp.asarray(xp, jnp.float32)[None, :],
+                               k, jnp.asarray(ids), jnp.asarray(mask))[0]
+        else:
+            est = enhance(params, jnp.asarray(xp, jnp.float32), k)
+        write_one(dst, np.asarray(est), t, fs, src)
 
 
 if __name__ == "__main__":

@@ -219,6 +219,21 @@ def main(argv=None):
                     time.time() - t_last)
                 t_last = time.time()
                 log(step, m)
+                # NaN tripwire (the reference drops into breakpoint() on
+                # non-finite losses, universe.py:526-528 / train.py:69's
+                # detect_anomaly). Here: abort WITHOUT checkpointing so
+                # the last good checkpoint survives; under --supervise
+                # the watchdog restarts from it with a fresh noise
+                # stream. Disable with run.nan_abort: false.
+                if run.get("nan_abort", True):
+                    bad = [k for k, v in m.items()
+                           if k.startswith("train/")
+                           and not _math.isfinite(v)]
+                    if bad:
+                        raise RuntimeError(
+                            f"NaN tripwire at step {step}: non-finite "
+                            f"{bad}; aborting without checkpoint (last "
+                            f"good checkpoint preserved)")
 
             if step % run.get("val_every", 5000) == 0 and "val" in dm.batchers:
                 key, k_val = jax.random.split(key)

@@ -65,14 +65,30 @@ class DataModule:
 
         q = queue.Queue(maxsize=prefetch)
         stop = object()
+        err = []
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for bi, idxs in batches:
-                    samples = list(pool.map(ds.__getitem__, idxs))
-                    collated = batcher.collate(samples, bi)
-                    q.put((collated, idxs) if with_indices else collated)
-            q.put(stop)
+            # any exception must still unblock the consumer: a producer
+            # thread dying WITHOUT posting `stop` would hang the train
+            # loop forever on q.get()
+            try:
+                if self.num_workers <= 0:  # synchronous loading
+                    for bi, idxs in batches:
+                        samples = [ds[i] for i in idxs]
+                        collated = batcher.collate(samples, bi)
+                        q.put((collated, idxs) if with_indices else collated)
+                else:
+                    with ThreadPoolExecutor(
+                            max_workers=self.num_workers) as pool:
+                        for bi, idxs in batches:
+                            samples = list(pool.map(ds.__getitem__, idxs))
+                            collated = batcher.collate(samples, bi)
+                            q.put((collated, idxs) if with_indices
+                                  else collated)
+            except BaseException as e:  # noqa: B036 - re-raised below
+                err.append(e)
+            finally:
+                q.put(stop)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
@@ -82,6 +98,8 @@ class DataModule:
                 break
             yield item
         th.join()
+        if err:
+            raise err[0]
 
     def iter_test(self, split: str = "test"):
         """Full-length per-file iteration: yields (noisy, clean, key)."""

@@ -10,23 +10,23 @@ Tensors are (B, T, C); statistics reduce over (T, C).
 import jax.numpy as jnp
 
 
-def _norm2(x, eps=1e-5):
+def _rms_level(x, eps=1e-5):
     # torch.Tensor.std is UNBIASED (N-1 denominator); match it exactly
     return jnp.maximum(jnp.std(x, axis=(1, 2), keepdims=True, ddof=1), eps)
 
 
-def _norm_max(x, eps=1e-5):
+def _peak_level(x, eps=1e-5):
     return jnp.maximum(
         jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True), eps)
 
 
-def _compute_gain(x, norm, level, eps=1e-5):
+def _target_gain(x, norm, level, eps=1e-5):
     if norm in (2, "2"):
-        return level / _norm2(x, eps)
+        return level / _rms_level(x, eps)
     if norm == "max":
-        return level / _norm_max(x, eps)
+        return level / _peak_level(x, eps)
     if norm == "2-max":
-        return jnp.minimum(level / _norm2(x, eps), 1.0 / _norm_max(x, eps))
+        return jnp.minimum(level / _rms_level(x, eps), 1.0 / _peak_level(x, eps))
     raise NotImplementedError(f"norm {norm} not implemented")
 
 
@@ -43,7 +43,7 @@ def normalize_batch(batch, norm=2, level_db=0.0, ref="noisy", eps=1e-5,
     else:
         mean = 0.0
 
-    gain = _compute_gain(mix, norm, level, eps)
+    gain = _target_gain(mix, norm, level, eps)
     mix = mix * gain
 
     out = [mix]
@@ -52,7 +52,7 @@ def normalize_batch(batch, norm=2, level_db=0.0, ref="noisy", eps=1e-5,
             if ref == "both":
                 if zero_mean:
                     tgt = tgt - jnp.mean(tgt, axis=(1, 2), keepdims=True)
-                tgt = tgt * _compute_gain(tgt, norm, level, eps)
+                tgt = tgt * _target_gain(tgt, norm, level, eps)
             else:
                 tgt = (tgt - mean) * gain
         out.append(tgt)

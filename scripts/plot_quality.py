@@ -46,7 +46,7 @@ def main():
     panels = [
         ("train losses", [("train/loss_gen", "gen"),
                           ("train/loss_disc", "disc")], None),
-        ("train terms", [("train/mel", "L1-mel"),
+        ("train terms", [("train/signal_mel", "L1-mel"),
                          ("train/score", "score MSE")], "log"),
         ("val PESQ-WB (native)", [("val/pesq", "pesq")], None),
         ("val SI-SDR (dB)", [("val/si-sdr", "si-sdr")], None),

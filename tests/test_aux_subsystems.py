@@ -217,3 +217,34 @@ def test_phoneme_loss_gating():
 
     with pytest.raises(RuntimeError, match="local pretrained weights"):
         PhonemeLoss(model_path="/nonexistent/wav2vec2")
+
+
+@pytest.mark.slow
+def test_profile_tool_sol_accounting(tmp_path, capsys):
+    """bin/profile: trace + speed-of-light accounting (SURVEY §5 — the
+    reference ships no profiler at all). Asserts the XLA cost analysis
+    and roofline fields are populated and internally consistent."""
+    import json
+
+    import yaml
+
+    from open_universe_tpu.bin.profile import main as profile_main
+
+    cfg = {"model": {"fs": 800, "rate_factors": [2, 4], "n_channels": 4,
+                     "n_rff": 8, "noise_cond_dim": 32, "n_mels": 8,
+                     "diffusion": {"n_steps": 4}},
+           "trainer": {"kind": "gan", "mpd_periods": [2, 3],
+                       "mrd_resolutions": [[64, 16, 32]]},
+           "datamodule": {"batch_size": 2},
+           "run": {"max_steps": 1, "ckpt_dir": str(tmp_path)}}
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    profile_main(["--config", str(p), "--mode", "train", "--steps", "1",
+                  "--audio-len", "0.2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["xla_gflops_per_step"] > 0
+    assert out["xla_gbytes_per_step"] > 0
+    assert out["sol_bound"] in ("MXU", "HBM")
+    assert out["sol_floor_ms"] == max(out["mxu_floor_ms"],
+                                      out["hbm_floor_ms"])
+    assert out["ms_per_step"] > 0

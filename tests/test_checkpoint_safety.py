@@ -245,3 +245,47 @@ def test_supervise_gives_up_after_max_restarts(tmp_path):
                    stall_timeout=30.0, poll=0.1, max_restarts=2,
                    log=lambda *a, **k: None, env=_CHILD_ENV)
     assert rc == 5
+
+
+@pytest.mark.slow
+def test_nan_tripwire_aborts_without_checkpoint(tmp_path):
+    """A non-finite training loss aborts the run BEFORE any further
+    checkpoint write (reference analogue: the breakpoint() NaN traps,
+    universe.py:526-528). weight_mel_l1=inf forces loss_gen=inf at the
+    very first logged step."""
+    import numpy as np
+    import yaml
+
+    from open_universe_tpu.bin.train import main as train_main
+    from open_universe_tpu.data.wavio import write_wav
+
+    data = tmp_path / "data"
+    rng = np.random.default_rng(0)
+    for split in ("train", "val", "test"):
+        for d in ("noisy", "clean"):
+            (data / split / d).mkdir(parents=True)
+        for i in range(4):
+            clean = 0.1 * np.sin(np.arange(320) * 0.3 * (i + 1))
+            write_wav(data / split / "clean" / f"u{i}.wav", clean, 800)
+            write_wav(data / split / "noisy" / f"u{i}.wav",
+                      clean + 0.03 * rng.standard_normal(320), 800)
+    cfg = {
+        "model": {"fs": 800, "rate_factors": [2, 4], "n_channels": 4,
+                  "n_rff": 8, "noise_cond_dim": 32, "n_mels": 8,
+                  "diffusion": {"n_steps": 4}},
+        "trainer": {"kind": "gan", "mpd_periods": [2, 3],
+                    "mrd_resolutions": [[64, 16, 32]],
+                    "weight_mel_l1": float("inf")},
+        "datamodule": {"audio_path": str(data), "fs": 800,
+                       "audio_len": 0.2, "length_mode": "crop",
+                       "batch_size": 2, "num_workers": 0},
+        "run": {"max_steps": 3, "log_every": 1, "val_every": 1000,
+                "ckpt_every": 1000, "ckpt_dir": str(tmp_path / "exp"),
+                "seed": 0},
+    }
+    cfg_path = tmp_path / "c.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(RuntimeError, match="NaN tripwire"):
+        train_main(["--config", str(cfg_path)])
+    # no checkpoint was written by the aborting run
+    assert not list((tmp_path / "exp").glob("step_*"))

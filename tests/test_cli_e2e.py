@@ -98,6 +98,45 @@ def test_enhance_cli(workdir):
     assert y.shape[0] == T_CLIP  # length preserved
 
 
+def test_enhance_cli_batched(workdir):
+    """--batch folder mode: same-bucket files run through one sampler
+    call; outputs keep per-file lengths and carry provenance metadata."""
+    from open_universe_tpu.bin.enhance import main as enhance_main
+
+    root, cfg_path, data = workdir
+    out = root / "enhanced_batched"
+    enhance_main([str(data / "test" / "noisy"), str(out),
+                  "--ckpt", str(root / "exp"), "--batch", "2"])
+    wavs = sorted(out.glob("*.wav"))
+    assert len(wavs) == 2
+    from open_universe_tpu.data.wavio import read_wav
+    for w in wavs:
+        y, fs = read_wav(w)
+        assert fs == FS and y.shape[0] == T_CLIP
+        assert np.isfinite(y).all()
+    meta = json.loads((out / "enhance_meta.json").read_text())
+    assert meta["resolved_step"] is not None
+
+
+def test_enhance_cli_chunked(workdir):
+    """--chunk-seconds: long files stream through fixed-size overlap-add
+    chunks (inference/streaming.py) from the CLI."""
+    from open_universe_tpu.bin.enhance import main as enhance_main
+
+    root, cfg_path, data = workdir
+    out = root / "enhanced_chunked"
+    enhance_main([str(data / "test" / "noisy"), str(out),
+                  "--ckpt", str(root / "exp"),
+                  "--chunk-seconds", "0.15", "--overlap-seconds", "0.04"])
+    from open_universe_tpu.data.wavio import read_wav
+    wavs = sorted(out.glob("*.wav"))
+    assert len(wavs) == 2
+    for w in wavs:
+        y, fs = read_wav(w)
+        assert fs == FS and y.shape[0] == T_CLIP
+        assert np.isfinite(y).all() and np.abs(y).max() > 0
+
+
 def test_eval_metrics_and_table(workdir, capsys):
     from open_universe_tpu.bin.eval_metrics import main as eval_main
     from open_universe_tpu.bin.make_table import main as table_main

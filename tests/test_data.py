@@ -170,3 +170,34 @@ def test_datamodule_iteration(wav_tree):
 
     keys = [k for _, _, k in dm.iter_test()]
     assert len(keys) == len(lengths)
+
+
+def test_iter_split_zero_workers_and_producer_error(tmp_path):
+    """num_workers=0 loads synchronously, and a producer-side exception
+    surfaces in the consumer instead of hanging the train loop forever
+    (the pre-fix behavior: a dead producer thread never posts the stop
+    sentinel and q.get() blocks indefinitely)."""
+    import numpy as np
+
+    from open_universe_tpu.data.datamodule import DataModule
+    from open_universe_tpu.data.wavio import write_wav
+
+    data = tmp_path / "d"
+    for sub in ("noisy", "clean"):
+        (data / "train" / sub).mkdir(parents=True)
+    for i in range(4):
+        x = 0.1 * np.sin(np.arange(400) * 0.1 * (i + 1))
+        write_wav(data / "train" / "noisy" / f"u{i}.wav", x, 800)
+        write_wav(data / "train" / "clean" / f"u{i}.wav", x, 800)
+    dm = DataModule({"train": {"audio_path": str(data), "split": "train",
+                               "fs": 800, "audio_len": 0.2,
+                               "length_mode": "crop"}},
+                    batch_size=2, num_workers=0)
+    batches = list(dm.iter_split("train"))
+    assert len(batches) == 2
+
+    # producer exception propagates (broken dataset __getitem__)
+    dm.datasets["train"].file_list[0] = "/nonexistent/file.wav"
+    dm.datasets["train"].__dict__.pop("_cache", None)
+    with pytest.raises(Exception):
+        list(dm.iter_split("train"))
