@@ -40,3 +40,26 @@ def collect_enhance_kwargs(args, fn, skip=("self", "params", "mix", "key",
         if hasattr(args, name):
             out[name] = getattr(args, name)
     return out
+
+
+def respect_platform_env():
+    """Make an explicit JAX_PLATFORMS env var win over the container's
+    interpreter-start platform pin.
+
+    The axon image registers its PJRT plugin from sitecustomize and pins
+    the platform at interpreter start; only the config-level update (not
+    the env var) actually takes effect after that. Every CLI calls this
+    before touching devices so e.g. ``JAX_PLATFORMS=cpu python -m
+    open_universe_tpu.bin.enhance ...`` runs on CPU as asked (serving
+    evals can be dry-run without touching a chip that is busy training).
+    """
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except RuntimeError:
+            pass  # backend already initialized; nothing to change

@@ -65,6 +65,9 @@ def main(argv=None):
     import math
 
     import jax
+
+    from .common import respect_platform_env
+    respect_platform_env()
     import jax.numpy as jnp
     import numpy as np
 

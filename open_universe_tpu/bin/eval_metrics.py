@@ -17,6 +17,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from .common import respect_platform_env
+    respect_platform_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("enhanced", help="folder of enhanced wavs")
     parser.add_argument("--ref", required=True, help="folder of clean refs")

@@ -57,6 +57,9 @@ def main(argv=None):
             max_restarts=args.max_restarts))
 
     import jax
+
+    from .common import respect_platform_env
+    respect_platform_env()
     import jax.numpy as jnp
 
     from ..config import load_config

@@ -32,8 +32,11 @@ def _default_cache() -> Path:
 
 
 def _is_our_ckpt_dir(p: Path) -> bool:
+    # run dirs (last.json / step_N) and standalone best-snapshots
+    # (snapshot_best: best/ + best.json, no last pointer) both qualify
     return (p / "config.yaml").exists() and (
-        (p / "last.json").exists() or any(p.glob("step_*")))
+        (p / "last.json").exists() or (p / "best.json").exists()
+        or any(p.glob("step_*")))
 
 
 def _convert_cached(ckpt_file: Path, config_path=None) -> Path:

@@ -48,7 +48,7 @@ def heartbeat_age(path) -> float:
 
 def supervise(cmd, heartbeat, stall_timeout: float = 1800.0,
               max_restarts: int = 20, poll: float = 20.0,
-              log=print, env=None) -> int:
+              log=print, env=None, restart_cmd=None) -> int:
     """Run ``cmd`` under heartbeat supervision; restart on stall or crash.
 
     Returns the child's final exit code (0 = the child finished cleanly).
@@ -57,12 +57,20 @@ def supervise(cmd, heartbeat, stall_timeout: float = 1800.0,
     SIGKILLed (the hung-RPC case ignores SIGTERM) and the command is
     rerun — it resumes from the last checkpoint.  ``max_restarts`` bounds
     total restarts (stalls + crashes combined).
+
+    ``restart_cmd`` (default: ``cmd``) is used from the second
+    incarnation on — one-shot flags like ``--fresh`` MUST NOT survive
+    into restarts (a restart that re-archives the run dir would wipe the
+    very progress the watchdog exists to protect).
     """
     heartbeat = Path(heartbeat)
+    if restart_cmd is None:
+        restart_cmd = cmd
     restarts = 0
     while True:
         start = time.time()
-        child = subprocess.Popen(cmd, start_new_session=True, env=env)
+        child = subprocess.Popen(cmd if restarts == 0 else restart_cmd,
+                                 start_new_session=True, env=env)
         log(f"[watchdog] child pid={child.pid} started "
             f"(restart {restarts}/{max_restarts})", flush=True)
         stalled = False
@@ -102,8 +110,15 @@ def supervise(cmd, heartbeat, stall_timeout: float = 1800.0,
 
 def supervise_self(argv, heartbeat, stall_timeout: float = 1800.0,
                    max_restarts: int = 20) -> int:
-    """Re-invoke this interpreter's module without ``--supervise``."""
-    cmd = [sys.executable, "-m", "open_universe_tpu.bin.train"] + [
-        a for a in argv if a != "--supervise"]
+    """Re-invoke this interpreter's module without ``--supervise``.
+
+    ``--fresh`` is one-shot: it applies to the FIRST incarnation only
+    (archive-and-start-over is the user's explicit request for THIS
+    launch); restarts after a stall/crash must RESUME, so the flag is
+    stripped from the restart command.
+    """
+    base = [sys.executable, "-m", "open_universe_tpu.bin.train"]
+    cmd = base + [a for a in argv if a != "--supervise"]
+    restart = base + [a for a in argv if a not in ("--supervise", "--fresh")]
     return supervise(cmd, heartbeat, stall_timeout=stall_timeout,
-                     max_restarts=max_restarts)
+                     max_restarts=max_restarts, restart_cmd=restart)

@@ -97,9 +97,12 @@ def main():
     results = {}
     for dtype in ("float32", "bfloat16"):
         dst = out / dtype
+        # pass the ORIGINAL step arg through: "best" loads the persistent
+        # best/ checkpoint, while numbered step_N dirs are subject to
+        # keep_last pruning; the resolved number is for labeling/guarding
         run([sys.executable, "-m", "open_universe_tpu.bin.enhance",
-             str(src), str(dst), "--ckpt", args.ckpt, "--step", str(step),
-             "--param-dtype", dtype])
+             str(src), str(dst), "--ckpt", args.ckpt,
+             "--step", str(args.step), "--param-dtype", dtype])
         run([sys.executable, "-m", "open_universe_tpu.bin.eval_metrics",
              str(dst), "--ref", str(clean), "--metrics", *args.metrics,
              "--recompute", "--output", str(dst / "metrics.json")])

@@ -289,3 +289,51 @@ def test_nan_tripwire_aborts_without_checkpoint(tmp_path):
         train_main(["--config", str(cfg_path)])
     # no checkpoint was written by the aborting run
     assert not list((tmp_path / "exp").glob("step_*"))
+
+
+def test_supervise_restart_strips_one_shot_flags(tmp_path):
+    """--fresh must NOT survive into watchdog restarts: a restart that
+    re-archives the run dir would wipe the progress the watchdog exists
+    to protect. supervise() runs `cmd` once, then `restart_cmd`."""
+    hb = tmp_path / "hb.json"
+    seen = tmp_path / "argv_log"
+    child = tmp_path / "child.py"
+    _write_child(child, f"""
+        import json, sys, time
+        with open({str(seen)!r}, "a") as f:
+            f.write(" ".join(sys.argv[1:]) + chr(10))
+        with open({str(hb)!r}, "w") as f:
+            json.dump({{"step": 1, "time": time.time()}}, f)
+        lines = open({str(seen)!r}).read().splitlines()
+        sys.exit(7 if len(lines) == 1 else 0)  # crash once, then finish
+    """)
+    rc = supervise([sys.executable, str(child), "--fresh"], hb,
+                   stall_timeout=30.0, poll=0.1, max_restarts=3,
+                   log=lambda *a, **k: None, env=_CHILD_ENV,
+                   restart_cmd=[sys.executable, str(child)])
+    assert rc == 0
+    lines = seen.read_text().splitlines()
+    assert lines == ["--fresh", ""]  # restart ran WITHOUT --fresh
+
+
+def test_supervise_self_restart_cmd():
+    from open_universe_tpu.training.watchdog import supervise_self  # noqa
+    import open_universe_tpu.training.watchdog as wd
+
+    captured = {}
+
+    def fake_supervise(cmd, hb, stall_timeout, max_restarts, restart_cmd):
+        captured["cmd"] = cmd
+        captured["restart"] = restart_cmd
+        return 0
+
+    orig = wd.supervise
+    wd.supervise = fake_supervise
+    try:
+        wd.supervise_self(["--config", "c.yaml", "--supervise", "--fresh"],
+                          "hb.json")
+    finally:
+        wd.supervise = orig
+    assert "--fresh" in captured["cmd"]
+    assert "--supervise" not in captured["cmd"]
+    assert "--fresh" not in captured["restart"]
