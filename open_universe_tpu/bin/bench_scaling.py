@@ -25,6 +25,12 @@ def main(argv=None):
     parser.add_argument("--audio-len", type=float, default=4.0)
     parser.add_argument("--steps", type=int, default=4)
     parser.add_argument("--kind", default="gan", choices=["gan", "mdn"])
+    parser.add_argument("--mode", default="train",
+                        choices=["train", "enhance"],
+                        help="enhance: data-parallel SERVING scaling — "
+                        "the 8-step sampler batch sharded over the mesh "
+                        "(the multi-chip path of "
+                        "inference/streaming.py:enhance_streaming_sharded)")
     parser.add_argument("--tiny", action="store_true",
                         help="small model (CPU validation)")
     args = parser.parse_args(argv)
@@ -78,29 +84,51 @@ def main(argv=None):
     base = None
     for n in sizes:
         mesh = default_mesh(n)
-        step = make_parallel_train_step(trainer, mesh)
         batch = args.batch_per_device * n
         mix = jax.random.normal(jax.random.PRNGKey(1), (batch, t, 1)) * 0.05
-        tgt = mix * 0.9
-        state = jax.device_get(state0)
         key = jax.random.PRNGKey(2)
-        # warmup/compile
-        state, metrics = step(state, (mix, tgt), key)
-        jax.block_until_ready(metrics)
-        t0 = time.perf_counter()
-        for i in range(args.steps):
-            state, metrics = step(state, (mix, tgt),
-                                  jax.random.fold_in(key, i))
-        # fetch a scalar: reliable completion barrier even over tunnels
-        float(list(metrics.values())[0])
-        dt = time.perf_counter() - t0
+        if args.mode == "enhance":
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            bsh = NamedSharding(mesh, P("data", None))
+            params = {k: gp for k, gp in (
+                state0.gen_params.items() if hasattr(state0, "gen_params")
+                else state0.params.items())}
+            params = jax.device_put(jax.device_get(params),
+                                    jax.tree_util.tree_map(
+                                        lambda _: repl, params))
+            fn = jax.jit(lambda p, m, k: model.enhance(p, m, k),
+                         in_shardings=(jax.tree_util.tree_map(
+                             lambda _: repl, params), bsh, repl))
+            x = jax.device_put(mix[..., 0], bsh)
+            float(fn(params, x, key)[0, 0])  # warmup/compile
+            t0 = time.perf_counter()
+            for i in range(args.steps):
+                out = fn(params, x, jax.random.fold_in(key, i))
+            float(out[0, 0])
+            dt = time.perf_counter() - t0
+        else:
+            step = make_parallel_train_step(trainer, mesh)
+            tgt = mix * 0.9
+            state = jax.device_get(state0)
+            # warmup/compile
+            state, metrics = step(state, (mix, tgt), key)
+            jax.block_until_ready(metrics)
+            t0 = time.perf_counter()
+            for i in range(args.steps):
+                state, metrics = step(state, (mix, tgt),
+                                      jax.random.fold_in(key, i))
+            # fetch a scalar: reliable completion barrier even over tunnels
+            float(list(metrics.values())[0])
+            dt = time.perf_counter() - t0
         sps = args.steps / dt
         audio_s = sps * batch * args.audio_len
         per_dev = audio_s / n
         if base is None:
             base = per_dev
         print(json.dumps({
-            "metric": "train_step_scaling", "devices": n,
+            "metric": f"{args.mode}_step_scaling", "devices": n,
             "steps_per_s": round(sps, 3),
             "audio_s_per_s": round(audio_s, 2),
             "audio_s_per_s_per_device": round(per_dev, 2),
