@@ -237,6 +237,27 @@ def main(argv=None):
                             f"NaN tripwire at step {step}: non-finite "
                             f"{bad}; aborting without checkpoint (last "
                             f"good checkpoint preserved)")
+                # host-RSS recycle: long runs can leak HOST memory in
+                # layers below us (observed: the remote-device client
+                # grew ~13 MB/step until the kernel OOM-killed a 3 h
+                # run). Bound it the production way: checkpoint HERE and
+                # exit with a restart code — under --supervise the
+                # watchdog relaunches a fresh process that resumes from
+                # this exact step (zero step loss). run.max_host_rss_gb
+                # (0 disables).
+                rss_limit = run.get("max_host_rss_gb", 64)
+                if rss_limit and _host_rss_gb() > rss_limit:
+                    print(f"[recycle] host RSS "
+                          f"{_host_rss_gb():.1f} GB > {rss_limit} GB at "
+                          f"step {step}; checkpointing and restarting "
+                          f"to bound the leak", flush=True)
+                    save_checkpoint(ckpt_dir, step, jax.device_get(state),
+                                    config=cfg,
+                                    keep_last=run.get("keep_last", 2))
+                    backup.trigger()
+                    backup.wait()
+                    mlog.close()
+                    raise SystemExit(75)  # watchdog: restart + resume
 
             if step % run.get("val_every", 5000) == 0 and "val" in dm.batchers:
                 key, k_val = jax.random.split(key)
@@ -264,6 +285,17 @@ def main(argv=None):
     backup.wait()
     mlog.close()
     print(f"training done at step {step}; checkpoints in {ckpt_dir}")
+
+
+def _host_rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1e6  # kB -> GB
+    except OSError:
+        pass
+    return 0.0
 
 
 def validate(state, trainer, dm, eval_metrics, run, key, step, log):

@@ -337,3 +337,47 @@ def test_supervise_self_restart_cmd():
     assert "--fresh" in captured["cmd"]
     assert "--supervise" not in captured["cmd"]
     assert "--fresh" not in captured["restart"]
+
+
+@pytest.mark.slow
+def test_host_rss_recycle_checkpoints_then_restart_code(tmp_path):
+    """run.max_host_rss_gb: when host RSS exceeds the bound, the trainer
+    checkpoints AT THE CURRENT STEP and exits with the restart code (75)
+    so the watchdog resumes with a fresh process — zero step loss. A
+    tiny threshold triggers on the first logged step."""
+    import numpy as np
+    import yaml
+
+    from open_universe_tpu.bin.train import main as train_main
+    from open_universe_tpu.data.wavio import write_wav
+
+    data = tmp_path / "data"
+    rng = np.random.default_rng(0)
+    for split in ("train", "val", "test"):
+        for d in ("noisy", "clean"):
+            (data / split / d).mkdir(parents=True)
+        for i in range(4):
+            clean = 0.1 * np.sin(np.arange(320) * 0.3 * (i + 1))
+            write_wav(data / split / "clean" / f"u{i}.wav", clean, 800)
+            write_wav(data / split / "noisy" / f"u{i}.wav",
+                      clean + 0.03 * rng.standard_normal(320), 800)
+    cfg = {
+        "model": {"fs": 800, "rate_factors": [2, 4], "n_channels": 4,
+                  "n_rff": 8, "noise_cond_dim": 32, "n_mels": 8,
+                  "diffusion": {"n_steps": 4}},
+        "trainer": {"kind": "gan", "mpd_periods": [2, 3],
+                    "mrd_resolutions": [[64, 16, 32]]},
+        "datamodule": {"audio_path": str(data), "fs": 800,
+                       "audio_len": 0.2, "length_mode": "crop",
+                       "batch_size": 2, "num_workers": 0},
+        "run": {"max_steps": 10, "log_every": 2, "val_every": 1000,
+                "ckpt_every": 1000, "ckpt_dir": str(tmp_path / "exp"),
+                "seed": 0, "max_host_rss_gb": 0.001},
+    }
+    cfg_path = tmp_path / "c.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(SystemExit) as exc:
+        train_main(["--config", str(cfg_path)])
+    assert exc.value.code == 75
+    assert json.loads(
+        (tmp_path / "exp" / "last.json").read_text())["step"] == 2
