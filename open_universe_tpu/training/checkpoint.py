@@ -225,9 +225,17 @@ def load_model_for_inference(ckpt_dir, step: Optional[int] = None,
     cfg = load_config(ckpt_dir)
     model = build_model(cfg["model"])
     trainer = build_trainer(model, cfg["trainer"])
-    template = trainer.init(jax.random.PRNGKey(0), **(
-        {"batch": 1} if cfg["trainer"].get("kind") == "mdn" else
-        {"example_len": model.tot_ds * 10, "batch": 1}))
+    # serving cold-start: build the restore template ABSTRACTLY.
+    # trainer.init materializes the full train state (params + two
+    # optimizer states + EMA + discriminators, ~1 GB at full size) on the
+    # default device — over a tunneled TPU that alone took ~10 min of the
+    # measured serving cold start. restore_checkpoint only needs the
+    # tree structure/shapes/dtypes, so trace init with jax.eval_shape:
+    # zero FLOPs, zero device transfers.
+    init_kwargs = ({"batch": 1} if cfg["trainer"].get("kind") == "mdn"
+                   else {"example_len": model.tot_ds * 10, "batch": 1})
+    template = jax.eval_shape(
+        lambda k: trainer.init(k, **init_kwargs), jax.random.PRNGKey(0))
     state, step = restore_checkpoint(ckpt_dir, template, step=step)
     if use_ema:
         ema = state.ema.params
