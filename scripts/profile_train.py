@@ -1,6 +1,13 @@
-"""Break down GAN train-step time on the real chip, f32 vs bf16 compute."""
+"""Break down GAN train-step time on the real chip, f32 vs bf16 compute.
+
+Run WITHOUT setting PYTHONPATH (it breaks the axon TPU plugin
+registration on this image); the repo root is inserted here instead.
+"""
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
