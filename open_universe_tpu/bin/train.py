@@ -263,12 +263,19 @@ def main(argv=None):
                 key, k_val = jax.random.split(key)
                 state, vmetrics = validate(state, trainer, dm, eval_metrics,
                                            run, k_val, step, log)
-                # keep the single best checkpoint by val/score (reference
-                # ModelCheckpoint save_top_k=1, train.py:141-150)
-                score = vmetrics.get("val/score")
+                # keep the single best checkpoint by the configured monitor
+                # (reference ModelCheckpoint save_top_k=1 monitoring
+                # cfg.model.validation.main_loss with main_loss_mode,
+                # train.py:141-150 + config/model/default.yaml:73-74;
+                # val/score and val/pesq are the reference's documented
+                # choices)
+                monitor = run.get("main_loss", "val/score")
+                minimize = run.get("main_loss_mode", "min") == "min"
+                score = vmetrics.get(monitor)
                 if score is not None and is_rank_zero() and \
                         save_best_checkpoint(ckpt_dir, step,
-                                             jax.device_get(state), score):
+                                             jax.device_get(state), score,
+                                             minimize=minimize):
                     if run.get("best_snapshot_dir"):
                         snapshot_best(ckpt_dir, run["best_snapshot_dir"])
                     backup.trigger()

@@ -7,26 +7,47 @@ reset between rounds; only committed files persist) but the captured
 stdout log does, this tool rebuilds the JSONL evidence artifact from it.
 
 Resume overlaps (the watchdog restarts from the last checkpoint, so steps
-since that checkpoint are re-run and re-logged) are deduplicated keeping
-the LAST occurrence per (step, kind) — i.e. the values that correspond to
-the surviving optimizer trajectory.
+since that checkpoint are re-run and re-logged) are handled by trajectory
+tracking: every ``resumed from ... @ step N`` marker invalidates all
+previously-parsed rows with step > N (they belong to an abandoned
+pre-crash optimizer trajectory that the surviving run never reached), and
+later re-logged steps then overwrite the checkpointed range.  The output
+therefore contains ONLY the surviving optimizer trajectory.
+
+Malformed metric lines are counted and reported (not silently dropped),
+NaN/inf values serialize as JSON ``null``, and values are limited to the
+%.4f precision ``bin/train`` prints — both caveats are recorded in a
+leading provenance row.
 
     python scripts/log_to_jsonl.py out/train_logs/synth_quality_r3.log \
         artifacts/synth_quality_16k_r3_metrics.jsonl
 """
 import argparse
 import json
+import math
 import re
 from pathlib import Path
 
 LINE = re.compile(r"^\[(val )?(\d+)\] (.*)$")
+RESUME = re.compile(r"resumed from .* @ step (\d+)")
 
 
 def parse(log_path):
     rows = {}  # (step, is_val) -> dict, last wins
-    order = []
+    n_skipped = 0
+    n_resumes = 0
     for line in Path(log_path).read_text().splitlines():
-        m = LINE.match(line.strip())
+        line = line.strip()
+        rm = RESUME.search(line)
+        if rm:
+            # Everything beyond the checkpoint step belongs to the
+            # abandoned pre-crash trajectory; drop it.  The resumed run
+            # re-logs those steps as it re-reaches them.
+            ckpt = int(rm.group(1))
+            rows = {k: v for k, v in rows.items() if k[0] <= ckpt}
+            n_resumes += 1
+            continue
+        m = LINE.match(line)
         if not m:
             continue
         is_val, step = bool(m.group(1)), int(m.group(2))
@@ -43,12 +64,16 @@ def parse(log_path):
                 ok = False
                 break
         if not ok:
+            n_skipped += 1
             continue
-        key = (step, is_val)
-        if key not in rows:
-            order.append(key)
-        rows[key] = d
-    return [rows[k] for k in sorted(order)]
+        rows[(step, is_val)] = d
+    out = [rows[k] for k in sorted(rows)]
+    return out, n_skipped, n_resumes
+
+
+def _jsonable(r):
+    return {k: (None if isinstance(v, float) and not math.isfinite(v) else v)
+            for k, v in r.items()}
 
 
 def main():
@@ -56,12 +81,21 @@ def main():
     ap.add_argument("log")
     ap.add_argument("out")
     args = ap.parse_args()
-    rows = parse(args.log)
+    rows, n_skipped, n_resumes = parse(args.log)
+    prov = {
+        "provenance": "rebuilt from stdout log by scripts/log_to_jsonl.py",
+        "log": str(args.log),
+        "precision": "values rounded to 4 decimals by bin/train's printer",
+        "resume_markers": n_resumes,
+        "skipped_malformed_lines": n_skipped,
+    }
     with open(args.out, "w") as fh:
+        fh.write(json.dumps(prov, allow_nan=False) + "\n")
         for r in rows:
-            fh.write(json.dumps(r) + "\n")
+            fh.write(json.dumps(_jsonable(r), allow_nan=False) + "\n")
     n_val = sum(1 for r in rows if any(k.startswith("val/") for k in r))
-    print(f"{len(rows)} rows ({n_val} val) -> {args.out}")
+    print(f"{len(rows)} rows ({n_val} val), {n_skipped} malformed lines "
+          f"skipped, {n_resumes} resume markers -> {args.out}")
 
 
 if __name__ == "__main__":

@@ -21,7 +21,9 @@ def load(path):
         for line in fh:
             line = line.strip()
             if line:
-                rows.append(json.loads(line))
+                r = json.loads(line)
+                if "step" in r:
+                    rows.append(r)
     return rows
 
 
@@ -41,7 +43,8 @@ def main():
     ap.add_argument("run_dir")
     ap.add_argument("--out", default="QUALITY_curves.png")
     args = ap.parse_args()
-    rows = load(Path(args.run_dir) / "metrics.jsonl")
+    p = Path(args.run_dir)
+    rows = load(p if p.is_file() else p / "metrics.jsonl")
 
     panels = [
         ("train losses", [("train/loss_gen", "gen"),

@@ -35,8 +35,12 @@ def main():
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
-    print(f"batch={batch}", flush=True)
-    t = 64000
+    seconds = 4.0
+    for a in sys.argv[1:]:
+        if a.startswith("--seconds="):
+            seconds = float(a.split("=")[1])
+    print(f"batch={batch} seconds={seconds}", flush=True)
+    t = int(16000 * seconds)
     n_inner = 2
 
     model = build_model({"fs": 16000})

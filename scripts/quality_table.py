@@ -17,7 +17,9 @@ def load(path):
     with open(path) as fh:
         for line in fh:
             if line.strip():
-                rows.append(json.loads(line))
+                r = json.loads(line)
+                if "step" in r:
+                    rows.append(r)
     return rows
 
 
