@@ -55,6 +55,16 @@ def main(argv=None):
     parser.add_argument("--text-dir", default=None,
                         help="folder of <stem>.txt transcripts for "
                              "text-conditioned models (enhance_NS parity)")
+    parser.add_argument("--oracle-ref-dir", default=None,
+                        help="DEBUG: folder of matching clean wavs; runs "
+                             "the sampler with the analytic oracle score "
+                             "-(x-target)/sigma^2 (+ --fake-score-snr dB "
+                             "of noise) instead of the network — the "
+                             "reference's fake_score_snr test mechanism "
+                             "(universe.py:278-298). Proves the serving "
+                             "pipeline (pad/normalize/transform/sampler/"
+                             "inverse) is quality-transparent "
+                             "independently of training state")
 
     from ..models.universe.model import UniverseModel
     from .common import add_enhance_arguments, collect_enhance_kwargs
@@ -152,6 +162,10 @@ def main(argv=None):
     def enhance_text(params, mix, key, ids, mask):
         return model.enhance(params, mix, key, text=(ids, mask), **kwargs)
 
+    @jax.jit
+    def enhance_oracle(params, mix, key, target):
+        return model.enhance(params, mix, key, target=target, **kwargs)
+
     def load_one(src):
         wav, fs = read_wav(src)
         x = wav[:, 0]
@@ -215,6 +229,13 @@ def main(argv=None):
                                     chunk_seconds=args.chunk_seconds,
                                     overlap_seconds=args.overlap_seconds,
                                     **kwargs)
+            write_one(dst, np.asarray(est), t, fs, src)
+            continue
+        if args.oracle_ref_dir is not None:
+            ref_p = Path(args.oracle_ref_dir) / src.name
+            rp, _rt, _rfs = load_one(ref_p)
+            est = enhance_oracle(params, jnp.asarray(xp, jnp.float32), k,
+                                 jnp.asarray(rp, jnp.float32))
             write_one(dst, np.asarray(est), t, fs, src)
             continue
         txt = text_for(src)

@@ -18,7 +18,7 @@ import threading
 import numpy as np
 
 from .lsd import log_spectral_distance
-from .sisdr import si_sdr
+from .sisdr import sdr, si_sdr
 from .stoi import stoi
 
 from .pesq import is_available as _pesq_available, pesq as _pesq_fn
@@ -53,6 +53,14 @@ class EvalMetrics:
         ref16 = self._resample(ref)
 
         metrics["si-sdr"] = float(np.mean(si_sdr(est16, ref16)))
+        # non-scale-invariant SDR + output/ref RMS ratio: cheap diagnostics
+        # separating "wrong waveform" from "wrong gain" (a low SI-SDR with
+        # rms_ratio ~1 and SDR ~ SI-SDR is genuine waveform mismatch, not a
+        # level bug in the serving path)
+        metrics["sdr"] = float(np.mean(sdr(est16, ref16)))
+        e_rms = np.sqrt(np.mean(est**2, axis=-1))
+        r_rms = np.maximum(np.sqrt(np.mean(ref**2, axis=-1)), 1e-8)
+        metrics["rms_ratio"] = float(np.mean(e_rms / r_rms))
 
         if self.with_stoi:
             vals = [stoi(e, r, self.eval_fs, extended=True)

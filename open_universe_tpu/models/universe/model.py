@@ -284,6 +284,11 @@ class UniverseModel:
             mix = mix[None, :, None]
         elif x_ndim == 2:
             mix = mix[:, :, None]
+        if target is not None:  # oracle target follows mix's conventions
+            if target.ndim == 1:
+                target = target[None, :, None]
+            elif target.ndim == 2:
+                target = target[:, :, None]
 
         mix_rms = jnp.sqrt(jnp.mean(mix**2, axis=(-2, -1), keepdims=True))
 
