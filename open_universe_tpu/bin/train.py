@@ -251,9 +251,10 @@ def main(argv=None):
                           f"{_host_rss_gb():.1f} GB > {rss_limit} GB at "
                           f"step {step}; checkpointing and restarting "
                           f"to bound the leak", flush=True)
-                    save_checkpoint(ckpt_dir, step, jax.device_get(state),
-                                    config=cfg,
-                                    keep_last=run.get("keep_last", 2))
+                    if is_rank_zero():
+                        save_checkpoint(ckpt_dir, step,
+                                        jax.device_get(state), config=cfg,
+                                        keep_last=run.get("keep_last", 2))
                     backup.trigger()
                     backup.wait()
                     mlog.close()
@@ -280,14 +281,19 @@ def main(argv=None):
                         snapshot_best(ckpt_dir, run["best_snapshot_dir"])
                     backup.trigger()
 
-            if step % run.get("ckpt_every", 5000) == 0:
+            # rank-0-only writes: the train state is replicated across
+            # hosts (invariance-tested), so one writer suffices — and on a
+            # shared filesystem concurrent writers would race on the same
+            # checkpoint dir (reference parity: Lightning saves rank 0)
+            if step % run.get("ckpt_every", 5000) == 0 and is_rank_zero():
                 save_checkpoint(ckpt_dir, step, jax.device_get(state),
                                 config=cfg, keep_last=run.get("keep_last", 2))
                 backup.trigger()
         epoch += 1
 
-    save_checkpoint(ckpt_dir, step, jax.device_get(state), config=cfg,
-                    keep_last=run.get("keep_last", 2))
+    if is_rank_zero():
+        save_checkpoint(ckpt_dir, step, jax.device_get(state), config=cfg,
+                        keep_last=run.get("keep_last", 2))
     backup.trigger()
     backup.wait()
     mlog.close()

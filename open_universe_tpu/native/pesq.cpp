@@ -38,6 +38,7 @@
 #include <cstdint>
 #include <cmath>
 #include <cstring>
+#include <cstdlib>
 #include <vector>
 #include <algorithm>
 #include <complex>
@@ -76,7 +77,29 @@ void fft_inplace(std::vector<std::complex<double>>& a, bool inverse) {
 }
 
 // --------------------------------------------------------- Bark machinery
+// Calibration-study perturbation knobs (scripts/pesq_sensitivity.py):
+// OUNIV_PESQ_BARK_FWARP   relative frequency warp eps in hz_to_bark
+//                         (f -> f*(1+eps)) — shifts every Bark band edge
+//                         by the analytic-vs-tabulated deviation range
+// OUNIV_PESQ_THRESH_DB_OFS additive dB offset on the absolute hearing
+//                         threshold (Terhardt-fit-vs-table deviation)
+// Both default to 0 (read once per process); production behavior is
+// unchanged unless explicitly set.
+double env_knob(const char* name) {
+    const char* v = std::getenv(name);
+    return v ? std::atof(v) : 0.0;
+}
+double bark_fwarp() {
+    static const double eps = env_knob("OUNIV_PESQ_BARK_FWARP");
+    return eps;
+}
+double thresh_db_ofs() {
+    static const double ofs = env_knob("OUNIV_PESQ_THRESH_DB_OFS");
+    return ofs;
+}
+
 double hz_to_bark(double f) {
+    f *= 1.0 + bark_fwarp();
     return 13.0 * std::atan(0.00076 * f) +
            3.5 * std::atan((f / 7500.0) * (f / 7500.0));
 }
@@ -87,7 +110,7 @@ double abs_thresh_db(double f) {
     double t = 3.64 * std::pow(khz, -0.8) -
                6.5 * std::exp(-0.6 * (khz - 3.3) * (khz - 3.3)) +
                1e-3 * std::pow(khz, 4.0);
-    return std::min(t, 100.0);
+    return std::min(t, 100.0) + thresh_db_ofs();
 }
 
 struct Config {

@@ -25,6 +25,17 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
             "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
             "JAX_NUM_PROCESSES", "MEGASCALE_COORDINATOR_ADDRESS"))
     if configured:
+        # explicit env-var fallbacks: some JAX versions only auto-detect
+        # these under a recognized cluster environment (SLURM etc.), so a
+        # bare `JAX_COORDINATOR_ADDRESS=...` launch (scripts/
+        # multihost_cli_run.py) resolves them here instead
+        if coordinator_address is None:
+            coordinator_address = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+                                   or os.environ.get("COORDINATOR_ADDRESS"))
+        if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+            num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+        if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+            process_id = int(os.environ["JAX_PROCESS_ID"])
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,

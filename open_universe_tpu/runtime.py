@@ -136,10 +136,13 @@ def build_datamodule(dm_cfg: dict, splits=("train", "val", "test"),
                 if k in d}
     datasets = {}
     for split in splits:
+        dd = dict(d)
+        if dd.get("text_path") and "{split}" in str(dd["text_path"]):
+            dd["text_path"] = str(dd["text_path"]).format(split=split)
         datasets[split] = dict(
             audio_path=audio_path, split=split, fs=fs,
             audio_len=audio_len if split == "train" else None,
-            length_mode=length_mode, **d)
+            length_mode=length_mode, **dd)
     return DataModule(datasets=datasets, batch_size=batch_size,
                      num_workers=num_workers, shard_rank=shard_rank,
                      shard_count=shard_count, **batching)

@@ -13,7 +13,13 @@ class MetricsLogger:
                  use_wandb: bool = True, config: dict = None):
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
-        self._fh = open(self.log_dir / "metrics.jsonl", "a")
+        # rank-suffixed file on non-zero hosts: every host logs (useful
+        # for debugging skew) but never interleaves into rank 0's
+        # canonical metrics.jsonl on a shared filesystem
+        import jax
+        rank = jax.process_index() if jax.process_count() > 1 else 0
+        name = "metrics.jsonl" if rank == 0 else f"metrics_rank{rank}.jsonl"
+        self._fh = open(self.log_dir / name, "a")
         self._wandb = None
         if use_wandb:
             try:

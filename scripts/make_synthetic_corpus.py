@@ -32,6 +32,8 @@ VOWELS = [  # (F1, F2, F3) targets, Hz
     (660, 1720, 2410),   # ae
     (490, 1350, 1690),   # er
 ]
+# transcript symbol per vowel (CharTokenizer charset: ascii lowercase)
+VOWEL_CHARS = ["a", "i", "u", "e", "o", "y", "r"]
 
 
 def _resonator_coeffs(f, bw, fs):
@@ -65,10 +67,16 @@ def synth_speech(rng, n, fs):
                 + np.log(rng.uniform(90, 220)))
     f0 = np.clip(f0, 70, 280)
 
-    # vowel-target trajectory for the 3 formants
+    # vowel-target trajectory for the 3 formants.  The chosen vowel
+    # sequence IS the utterance's transcript (returned alongside the
+    # audio) — the synthesizer knows what it spoke, which gives the
+    # text-conditioned models real aligned transcripts with zero egress.
+    # Drawing indices first keeps the RNG stream identical to the
+    # pre-transcript version of this file, so audio regenerates
+    # bit-identically.
     n_seg = max(2, int(n_frames * 0.02 * syl_rate))
-    targets = np.array([VOWELS[rng.integers(len(VOWELS))]
-                        for _ in range(n_seg + 1)])
+    vowel_idx = [int(rng.integers(len(VOWELS))) for _ in range(n_seg + 1)]
+    targets = np.array([VOWELS[j] for j in vowel_idx])
     seg_pos = np.linspace(0, n_frames - 1, n_seg + 1)
     formants = np.stack(
         [np.interp(np.arange(n_frames), seg_pos, targets[:, j])
@@ -98,7 +106,9 @@ def synth_speech(rng, n, fs):
     # lip radiation (first difference) + gentle lowpass via leaky integ.
     out = np.diff(out, prepend=0.0)
     peak = np.abs(out).max() + 1e-9
-    return (out / peak * rng.uniform(0.15, 0.4)).astype(np.float32)
+    wav = (out / peak * rng.uniform(0.15, 0.4)).astype(np.float32)
+    text = " ".join(VOWEL_CHARS[j] for j in vowel_idx)
+    return wav, text
 
 
 def synth_noise(rng, n, fs, babble_fn=None):
@@ -112,7 +122,7 @@ def synth_noise(rng, n, fs, babble_fn=None):
         v = rng.standard_normal(n) * (
             1.0 + 0.8 * np.sin(2 * np.pi * f * np.arange(n) / fs))
     else:              # babble: sum of 3 synthetic talkers
-        v = sum(synth_speech(rng, n, fs).astype(np.float64)
+        v = sum(synth_speech(rng, n, fs)[0].astype(np.float64)
                 for _ in range(3))
     v = v / (np.std(v) + 1e-9)
     return v.astype(np.float32)
@@ -120,7 +130,7 @@ def synth_noise(rng, n, fs, babble_fn=None):
 
 def make_pair(seed, n, fs, snr_lo, snr_hi):
     rng = np.random.default_rng(seed)
-    clean = synth_speech(rng, n, fs)
+    clean, text = synth_speech(rng, n, fs)
     noise = synth_noise(rng, len(clean), fs)
     snr = rng.uniform(snr_lo, snr_hi)
     sp = np.sqrt(np.mean(clean**2)) + 1e-9
@@ -131,16 +141,18 @@ def make_pair(seed, n, fs, snr_lo, snr_hi):
     if peak > 0.99:
         clean = clean * (0.99 / peak)
         noisy = noisy * (0.99 / peak)
-    return noisy.astype(np.float32), clean
+    return noisy.astype(np.float32), clean, text
 
 
 def _job(args):
-    split_dir, idx, seed, n, fs, lo, hi = args
+    split_dir, idx, seed, n, fs, lo, hi, texts_only = args
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from open_universe_tpu.data.wavio import write_wav
-    noisy, clean = make_pair(seed, n, fs, lo, hi)
-    write_wav(Path(split_dir) / "noisy" / f"u{idx:05d}.wav", noisy, fs)
-    write_wav(Path(split_dir) / "clean" / f"u{idx:05d}.wav", clean, fs)
+    noisy, clean, text = make_pair(seed, n, fs, lo, hi)
+    if not texts_only:
+        write_wav(Path(split_dir) / "noisy" / f"u{idx:05d}.wav", noisy, fs)
+        write_wav(Path(split_dir) / "clean" / f"u{idx:05d}.wav", clean, fs)
+    (Path(split_dir) / "text" / f"u{idx:05d}.txt").write_text(text + "\n")
     return idx
 
 
@@ -153,6 +165,10 @@ def main():
     ap.add_argument("--fs", type=int, default=16000)
     ap.add_argument("--dur", type=float, default=4.0)
     ap.add_argument("--workers", type=int, default=2)
+    ap.add_argument("--texts-only", action="store_true",
+                    help="(re)write only the text/ transcripts for an "
+                    "existing corpus — the synthesis is seed-deterministic "
+                    "so the transcripts match the already-written wavs")
     args = ap.parse_args()
 
     n = int(args.fs * args.dur)
@@ -164,8 +180,10 @@ def main():
         sd = Path(args.out) / split
         (sd / "noisy").mkdir(parents=True, exist_ok=True)
         (sd / "clean").mkdir(parents=True, exist_ok=True)
+        (sd / "text").mkdir(parents=True, exist_ok=True)
         for i in range(count):
-            jobs.append((str(sd), i, base + i, n, args.fs, lo, hi))
+            jobs.append((str(sd), i, base + i, n, args.fs, lo, hi,
+                         args.texts_only))
 
     with ProcessPoolExecutor(max_workers=args.workers) as ex:
         for k, _ in enumerate(ex.map(_job, jobs, chunksize=16)):

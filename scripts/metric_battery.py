@@ -145,7 +145,7 @@ def main():
     n = int(args.dur * fs)
 
     rng = np.random.default_rng(2026)
-    refs = [synth_speech(rng, n, fs).astype(np.float64)
+    refs = [synth_speech(rng, n, fs)[0].astype(np.float64)
             for _ in range(args.n_utts)]
 
     rows = []
