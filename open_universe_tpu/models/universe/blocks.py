@@ -20,8 +20,37 @@ from flax import linen as nn
 
 from ...ops.activations import SnakeAlias
 from ...ops.antialias import binomial_filter
-from ...ops.conv import Conv1d, ConvTranspose1d, PReLU
+from ...ops.conv import (
+    Conv1d,
+    ConvTranspose1d,
+    PReLU,
+    _same_pads,
+    conv1d,
+    get_compute_dtype,
+    prelu,
+)
 from ...ops.film import film
+
+# ---------------------------------------------------------------- fold flag
+# Decoder signal-cond projection fold (PERF.md "next levers"): compute the
+# per-level 1x1 signal-cond projection INSIDE the block's conv1 as a
+# channel-concat conv — conv5([act(h); cond], [W1; center-tap Wp]) ==
+# conv5(act(h), W1) + conv1x1(cond, Wp) exactly — removing the separate
+# projection conv's HBM round-trip (one read of cond + one write of sc)
+# at every decoder level of every score call. Costs extra MXU FLOPs on
+# the widened conv1; profitable only where the step is bytes-bound.
+# Default OFF; flip with set_fold_signal_cond for measurement
+# (scripts/profile_train.py --fold-cond).
+_FOLD_SIGNAL_COND = False
+
+
+def set_fold_signal_cond(enabled: bool):
+    global _FOLD_SIGNAL_COND
+    _FOLD_SIGNAL_COND = bool(enabled)
+
+
+def fold_signal_cond_enabled() -> bool:
+    return _FOLD_SIGNAL_COND
 from ...ops.pallas_conv_block import (
     fused_conv_stack,
     fusion_profitable,
@@ -121,7 +150,11 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, h, noise_cond=None, input_cond=None, res=None,
-                 length: Optional[int] = None):
+                 length: Optional[int] = None, cond_fold=None):
+        """``cond_fold``: optional (wp, bp) effective params of the
+        caller's 1x1 signal-cond projection; when given, ``input_cond``
+        is the RAW conditioner output and the projection is folded into
+        conv1 (see set_fold_signal_cond)."""
         c = self.n_channels
 
         if self.rate_change_dir == "up":
@@ -163,7 +196,17 @@ class ConvBlock(nn.Module):
                 and (input_cond is None or self.signal_cond_type != "linear")
                 and (noise_cond is None or noise_cond.ndim == 2)
                 and fusion_profitable(h.shape[-2], c))
+        def _apply_fold_proj(cond):
+            # fallback for branches that need the PROJECTED cond: apply
+            # the caller's 1x1 projection here (same math, not folded)
+            wp, bp = cond_fold
+            cd = get_compute_dtype()
+            y = conv1d(cond.astype(cd), wp.astype(cd))
+            return y + bp.astype(cd) if bp is not None else y
+
         if fuse:
+            if cond_fold is not None and input_cond is not None:
+                input_cond = _apply_fold_proj(input_cond)
             dummy = jnp.zeros((1, 8, c), h.dtype)
             _, (w1, b1, a1) = conv1(dummy, with_params=True)
             _, (w2, b2, a2) = conv2(dummy, with_params=True)
@@ -172,7 +215,36 @@ class ConvBlock(nn.Module):
                 h, w1, b1, w2, b2, w3, b3, jnp.stack([a1, a2, a3]),
                 film_gb=noise_cond, input_cond=input_cond, res=res,
                 interpret=pallas_conv_block_interpret())
+        elif (cond_fold is not None and input_cond is not None
+              and self.act_type == "prelu"
+              and self.signal_cond_type != "linear"):
+            # folded path: one widened conv replaces conv1 + the 1x1
+            # signal-cond projection + the add (exact algebra; see
+            # set_fold_signal_cond)
+            if res is not None:
+                h = (h + res) * INV_SQRT2
+            wp, bp = cond_fold
+            dummy = jnp.zeros((1, 8, c), h.dtype)
+            _, (w1, b1, a1) = conv1(dummy, with_params=True)
+            hact = prelu(h, a1)
+            xcat = jnp.concatenate([hact, input_cond], axis=-1)
+            wp_pad = jnp.pad(wp, ((2, 2), (0, 0), (0, 0)))
+            wcat = jnp.concatenate([w1, wp_pad], axis=1)  # (5, 2C, C)
+            bias = b1 if b1 is not None else jnp.zeros((c,), h.dtype)
+            if bp is not None:
+                bias = bias + bp
+            cd = get_compute_dtype()
+            cond_out = conv1d(xcat.astype(cd), wcat.astype(cd),
+                              padding=_same_pads(5)) + bias.astype(cd)
+            x = cond_out * INV_SQRT2
+            if noise_cond is not None:
+                x = film(x, noise_cond)
+            x = conv2(x)
+            x = conv3(x)
+            v_out = (h + x) * INV_SQRT2
         else:
+            if cond_fold is not None and input_cond is not None:
+                input_cond = _apply_fold_proj(input_cond)
             if res is not None:
                 h = (h + res) * INV_SQRT2
             cond_out = conv1(h)

@@ -20,7 +20,7 @@ from flax import linen as nn
 from ...ops.conv import Conv1d, Dense, PReLU
 from ...ops.embeddings import SigmaBlock, SimpleTimeEmbedding
 from ...ops.gru import GRU
-from .blocks import ConvBlock, PReLUConv
+from .blocks import ConvBlock, PReLUConv, fold_signal_cond_enabled
 
 
 class ScoreEncoder(nn.Module):
@@ -119,13 +119,23 @@ class ScoreDecoder(nn.Module):
 
     def __call__(self, x, noise_cond, input_cond, residuals, lengths,
                  cond_projected: bool = False):
-        if not cond_projected:
+        # fold the per-level 1x1 projection into each block's conv1 when
+        # enabled (training path only — the serving path hoists the
+        # projection out of the sampler loop instead, project_cond)
+        fold = fold_signal_cond_enabled() and not cond_projected
+        if not cond_projected and not fold:
             input_cond = self.project_cond(input_cond)
         for (name, ch, r), sc, res, length in zip(self.blocks, input_cond,
                                                   residuals, lengths):
             nc = getattr(self, f"noise_cond_proj_{name}")(noise_cond)
+            cond_fold = None
+            if fold:
+                proj = getattr(self, f"signal_cond_proj_{name}")
+                dummy = jnp.zeros((1, 8, sc.shape[-1]), sc.dtype)
+                _, cond_fold = proj(dummy, with_params=True)
             x, *_ = getattr(self, name)(x, noise_cond=nc, input_cond=sc,
-                                        res=res, length=length)
+                                        res=res, length=length,
+                                        cond_fold=cond_fold)
         return x
 
 

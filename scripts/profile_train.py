@@ -61,6 +61,12 @@ def main():
         from open_universe_tpu.ops.gru import set_use_pallas_gru
         set_use_pallas_gru(True)
         print("pallas gru: on", flush=True)
+    if "--fold-cond" in sys.argv:
+        from open_universe_tpu.models.universe.blocks import (
+            set_fold_signal_cond,
+        )
+        set_fold_signal_cond(True)
+        print("fold signal-cond: on", flush=True)
 
     key = jax.random.PRNGKey(1)
     mix = jax.random.normal(key, (batch, t, 1)) * 0.05

@@ -158,3 +158,33 @@ def test_hoisted_signal_cond_projection(nets):
     s_new = score.apply(score_params, x, sigma, proj, cond_projected=True)
     np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_new),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fold_signal_cond_exact():
+    """set_fold_signal_cond folds the decoder's per-level 1x1 signal-cond
+    projection into conv1 as a channel-concat conv (PERF.md lever). Must
+    be numerically equivalent to the unfused path on the same params."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_universe_tpu.models.universe.blocks import (
+        set_fold_signal_cond,
+    )
+    from open_universe_tpu.runtime import build_model
+
+    model = build_model({"fs": 16000, "n_channels": 8, "noise_cond_dim": 64,
+                         "n_rff": 8, "n_mels": 16})
+    params = model.init(jax.random.PRNGKey(0), example_len=1600)
+    mix = jax.random.normal(jax.random.PRNGKey(1), (2, 1600, 1)) * 0.1
+    x_t = jax.random.normal(jax.random.PRNGKey(2), (2, 1600, 1))
+    sigma = jnp.asarray([0.3, 1.1])
+    cond, _aux, _ = model.apply_cond(params, mix)
+
+    ref = model.score_fn(params)(x_t, sigma, cond)
+    set_fold_signal_cond(True)
+    try:
+        out = model.score_fn(params)(x_t, sigma, cond)
+    finally:
+        set_fold_signal_cond(False)
+    assert jnp.max(jnp.abs(out - ref)) < 1e-4, float(
+        jnp.max(jnp.abs(out - ref)))
