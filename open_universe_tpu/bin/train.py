@@ -175,7 +175,26 @@ def main(argv=None):
 
     heartbeat_file = ckpt_dir / "heartbeat.json"
 
+    # compile-phase liveness: the first jit of the one-jit train step can
+    # exceed the watchdog's stall timeout (measured >30 min for the
+    # text-GAN graph on a contended 2-vCPU CPU backend), during which the
+    # main thread is blocked inside XLA and writes no heartbeat. Beat
+    # from a daemon thread until the first real metrics fetch, then hand
+    # over to strict step-based beats (a hung chip RPC after that point
+    # still trips the watchdog as designed).
+    import threading
+
+    _first_metrics = threading.Event()
+
+    def _compile_beat():
+        while not _first_metrics.wait(60.0):
+            write_heartbeat(heartbeat_file, start_step,
+                            extra={"phase": "compile"})
+
+    threading.Thread(target=_compile_beat, daemon=True).start()
+
     def log(step, metrics, prefix=""):
+        _first_metrics.set()
         mlog.log(step, metrics)
         msg = " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
         print(f"[{prefix}{step}] {msg}", flush=True)

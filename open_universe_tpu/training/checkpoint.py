@@ -62,6 +62,26 @@ def prepare_run_dir(ckpt_dir, fresh: bool = False) -> dict:
             with open(rid_file, "w") as f:
                 json.dump({"run_id": run_id}, f)
         return {"resume": True, "run_id": run_id}
+    ckpt_assets = bool(list(ckpt_dir.glob("step_*"))
+                       or (ckpt_dir / "best").exists()
+                       or (ckpt_dir / "best.json").exists()
+                       or (ckpt_dir / "last.json").exists())
+    if run_dir_has_checkpoints(ckpt_dir) and not ckpt_assets and not fresh:
+        # bookkeeping-only dir (run_id/heartbeat/metrics but no
+        # checkpoint): a run that died before its first checkpoint. A
+        # watchdog restart lands here — continuing appends to
+        # metrics.jsonl and destroys nothing, so it must NOT be refused
+        # (round-4 incident: a crash-loop of refused restarts after a
+        # first-compile stall kill).
+        rid_file = ckpt_dir / "run_id.json"
+        if rid_file.exists():
+            with open(rid_file) as f:
+                run_id = json.load(f)["run_id"]
+        else:
+            run_id = uuid.uuid4().hex[:12]
+            with open(rid_file, "w") as f:
+                json.dump({"run_id": run_id}, f)
+        return {"resume": False, "run_id": run_id}
     if run_dir_has_checkpoints(ckpt_dir):
         if not fresh:
             raise RuntimeError(
@@ -186,11 +206,20 @@ def latest_step(ckpt_dir) -> Optional[int]:
         return json.load(f)["step"]
 
 
-def restore_checkpoint(ckpt_dir, state_template, step=None):
+def restore_checkpoint(ckpt_dir, state_template, step=None,
+                       keep_roots=None):
     """Restore into the structure of state_template. Returns (state, step).
 
     ``step`` may be an int, None (latest), or "best" (the best-val/score
-    checkpoint saved by save_best_checkpoint)."""
+    checkpoint saved by save_best_checkpoint).
+
+    ``keep_roots``: optional set of top-level state fields to actually
+    read; every other field is restored as ``ocp.PLACEHOLDER`` (orbax
+    partial restore). Serving only needs the EMA/params subtrees
+    (~170 MB of a 1.1 GB full-size train state — the optimizer moments
+    and discriminators are dead weight at inference), so skipping them
+    cuts the disk-read part of cold start by the same factor
+    (PERF.md serving cold-start section)."""
     ckpt_dir = Path(ckpt_dir).absolute()
     if step == "best":
         bstep = best_step(ckpt_dir)
@@ -205,7 +234,28 @@ def restore_checkpoint(ckpt_dir, state_template, step=None):
         path = ckpt_dir / f"step_{step}"
     target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                     state_template)
-    state = _ckptr().restore(str(path), target=target)
+    if keep_roots is None:
+        state = _ckptr().restore(str(path), target=target)
+    else:
+        # subset-item partial restore: only the named top-level fields
+        # are read from disk; the result is a namespace exposing just
+        # those fields (inference callers use attribute access)
+        from types import SimpleNamespace
+
+        sub = {}
+        for root in keep_roots:
+            if isinstance(state_template, dict):
+                if root in state_template:
+                    sub[root] = state_template[root]
+            elif hasattr(state_template, root):
+                sub[root] = getattr(state_template, root)
+        sub_t = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, sub)
+        with ocp.PyTreeCheckpointer() as c:
+            restored = c.restore(
+                str(path),
+                args=ocp.args.PyTreeRestore(item=sub_t,
+                                            partial_restore=True))
+        state = SimpleNamespace(**restored)
     return state, step
 
 
@@ -236,7 +286,13 @@ def load_model_for_inference(ckpt_dir, step: Optional[int] = None,
                    else {"example_len": model.tot_ds * 10, "batch": 1})
     template = jax.eval_shape(
         lambda k: trainer.init(k, **init_kwargs), jax.random.PRNGKey(0))
-    state, step = restore_checkpoint(ckpt_dir, template, step=step)
+    # partial restore: inference touches only the EMA/params subtrees;
+    # optimizer moments + discriminators (the bulk of the state) stay
+    # unread on disk
+    keep = {"ema", "gen_params", "params"} if use_ema else \
+        {"gen_params", "params"}
+    state, step = restore_checkpoint(ckpt_dir, template, step=step,
+                                     keep_roots=keep)
     if use_ema:
         ema = state.ema.params
         if "decoupling" in getattr(state, "gen_params", {}):

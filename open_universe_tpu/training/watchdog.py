@@ -103,7 +103,22 @@ def supervise(cmd, heartbeat, stall_timeout: float = 1800.0,
             log(f"[watchdog] giving up after {max_restarts} restarts "
                 f"(last rc={rc})", flush=True)
             return rc if rc != 0 else 1
-        log(f"[watchdog] child exited rc={rc} (stalled={stalled}); "
+        # decode the exit status so restarts are attributable from the log
+        # alone (round-3 postmortem: an adopted child's death had no
+        # recorded cause). rc < 0 is death-by-signal; SIGKILL without a
+        # watchdog stall is the kernel OOM killer's signature on Linux.
+        if rc < 0:
+            try:
+                signame = signal.Signals(-rc).name
+            except ValueError:
+                signame = str(-rc)
+            why = f"killed by {signame}"
+            if -rc == signal.SIGKILL and not stalled:
+                why += " (not the watchdog — likely the kernel OOM killer)"
+        else:
+            why = {75: "restart requested (host-RSS recycle / EX_TEMPFAIL)"
+                   }.get(rc, f"exit code {rc}")
+        log(f"[watchdog] child exited rc={rc} (stalled={stalled}; {why}); "
             f"restarting", flush=True)
         time.sleep(2.0)
 
