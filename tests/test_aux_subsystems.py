@@ -109,6 +109,7 @@ item []:
     assert ids[6:11].all()
 
 
+@pytest.mark.slow
 def test_streaming_enhance():
     from open_universe_tpu.diffusion import DiffusionConfig
     from open_universe_tpu.inference import enhance_streaming

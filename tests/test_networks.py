@@ -99,6 +99,7 @@ def test_sigma_conditioning_changes_output():
     assert float(jnp.abs(s1 - s2).max()) > 1e-6
 
 
+@pytest.mark.slow
 def test_discriminators():
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 2000, 1))
     y = jax.random.normal(jax.random.PRNGKey(1), (1, 2000, 1))

@@ -69,6 +69,7 @@ def test_dnsmos_gated(tmp_path):
         ComputeDNSMOS(tmp_path)  # onnxruntime or model files missing
 
 
+@pytest.mark.slow
 def test_bench_scaling_harness(capsys):
     """Scaling benchmark runs on the virtual mesh and reports efficiency."""
     import json as _json
@@ -85,6 +86,7 @@ def test_bench_scaling_harness(capsys):
     assert recs[1]["audio_s_per_s"] > 0
 
 
+@pytest.mark.slow
 def test_tensor_sharded_train_step():
     """dp x tp mesh: large weights column-sharded over `model`, step runs,
     and the result matches the replicated (dp-only) step numerically."""
@@ -144,6 +146,7 @@ def test_tensor_sharded_train_step():
                                    rtol=2e-4, atol=1e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_data_parallel_loss_batch_invariance():
     """Weak-scaling correctness (SURVEY §2.8 / round-2 VERDICT item 6):
     the SAME global batch stepped on a 1-device mesh and on a 4-device

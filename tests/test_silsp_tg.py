@@ -239,6 +239,7 @@ def test_text_cli_train_with_textgrid(tmp_path):
     assert any("train/align_phoneme" in m for m in metrics)
 
 
+@pytest.mark.slow
 def test_text_trainer_align_loss_step():
     tok = CharTokenizer(max_len=16, sil_token=True)
     tiny = UniverseConfig(

@@ -121,6 +121,7 @@ def test_text_changes_conditioning(text_model):
     assert float(jnp.abs(y1 - y2).max()) > 1e-7
 
 
+@pytest.mark.slow
 def test_text_gan_trainer(text_model):
     from open_universe_tpu.training.text_gan_trainer import (
         TextGanTrainConfig,

@@ -79,6 +79,7 @@ def test_gan_disc_freeze(gan_setup):
     assert max(jax.tree_util.tree_leaves(d)) > 0  # gen still trains
 
 
+@pytest.mark.slow
 def test_gan_loss_decreases(gan_setup):
     """A few steps on a fixed batch should reduce the generator loss."""
     trainer, state = gan_setup
@@ -109,6 +110,7 @@ def test_mdn_train_step():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_gan_grad_accumulation(gan_setup):
     """accumulate_grad_batches=2: no param change after step 1, change
     after step 2 (reference accumulate_grad_batches,
@@ -134,6 +136,7 @@ def test_gan_grad_accumulation(gan_setup):
         assert bool(jnp.isfinite(v)), k
 
 
+@pytest.mark.slow
 def test_gan_remat_matches(gan_setup):
     """remat=True recomputes the generator forward in the pullback —
     results must be bit-compatible with the residual-saving path."""
@@ -162,6 +165,7 @@ def test_gan_remat_matches(gan_setup):
                                        rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mdn_accum_and_remat():
     model = UniverseModel(TINY_MODEL)
     base = dict(audio_len_s=T / TINY_MODEL.fs, t_warmup=10, t_cosine=11,

@@ -92,6 +92,7 @@ def test_spectral_aux_signal(spec_model_and_params):
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow
 def test_spectral_gan_train_step():
     from open_universe_tpu.training.gan_trainer import (
         GanTrainConfig,
