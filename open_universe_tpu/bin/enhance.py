@@ -199,6 +199,9 @@ def main(argv=None):
                 return txt
         return None
 
+    if args.batch > 1 and args.oracle_ref_dir is not None:
+        raise SystemExit("--oracle-ref-dir is a per-file debug path; "
+                         "drop --batch to use it")
     if args.batch > 1 and tokenizer is None and len(pairs) > 1:
         # throughput mode: group files into same-padded-length buckets
         # and run the 8-step sampler once per batch — the sampler is the

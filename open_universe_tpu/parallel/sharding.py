@@ -20,11 +20,46 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of (B, ...) arrays with B sharded over `data`."""
+    """Place a pytree of (B, ...) arrays with B sharded over `data`.
+
+    Single-process: a plain sharded device_put. Multi-host: each process
+    holds only ITS shard of the global batch (per-host input sharding,
+    ``build_datamodule(shard_rank=...)``), so the global array is built
+    from process-local data — global batch = per-host batch x n_processes,
+    the reference's DDP semantics (per-GPU batch x world size)."""
+    multiproc = jax.process_count() > 1
+
     def put(x):
         spec = P("data", *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sh = NamedSharding(mesh, spec)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
     return jax.tree_util.tree_map(put, batch)
+
+
+def _replicate(mesh: Mesh, tree):
+    """Replicate host-local values over a (possibly multi-host) mesh.
+
+    Pass-through for arrays already replicated over this mesh (the
+    steady-state case: the previous step's output), so this costs
+    nothing per step; only the initial host-local state pays the
+    build-global-array transfer."""
+    repl = replicated(mesh)
+    if jax.process_count() <= 1:
+        return jax.device_put(tree, repl)
+    import numpy as np
+
+    mesh_devs = set(mesh.devices.flat)
+
+    def put(x):
+        if (isinstance(x, jax.Array)
+                and x.sharding.is_fully_replicated
+                and set(x.sharding.device_set) == mesh_devs):
+            return x
+        return jax.make_array_from_process_local_data(repl, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def param_sharding_rules(mesh: Mesh, tree, model_axis: str = "model",
@@ -76,8 +111,8 @@ def make_parallel_train_step(trainer, mesh: Mesh,
                     mesh, state, min_size=shard_min_size))
             state = jax.device_put(state, state_shardings[0])
         else:
-            state = jax.device_put(state, repl)
-        key = jax.device_put(key, repl)
+            state = _replicate(mesh, state)
+        key = _replicate(mesh, key)
         return step(state, batch, key)
 
     return run

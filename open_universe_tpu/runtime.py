@@ -35,7 +35,9 @@ def host_init(init_fn, *args, **kwargs):
             out = init_fn(*args, **kwargs)
     else:
         out = init_fn(*args, **kwargs)
-    return jax.device_put(out, jax.devices()[0])
+    # local_devices, not devices: on a multi-host job jax.devices()[0] is
+    # rank 0's first device, which other ranks cannot copy to
+    return jax.device_put(out, jax.local_devices()[0])
 
 
 def build_model(model_cfg: dict) -> UniverseModel:

@@ -39,7 +39,7 @@ def main():
     ap.add_argument("--n-dev", type=int, default=4)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--out", default="out/multihost_cli")
-    ap.add_argument("--timeout", type=float, default=1800)
+    ap.add_argument("--timeout", type=float, default=3600)
     args = ap.parse_args()
 
     out = Path(args.out)
@@ -85,7 +85,14 @@ def main():
              "--fresh", *overrides],
             cwd=REPO, env=env, stdout=log, stderr=subprocess.STDOUT))
 
-    rc = [p.wait(timeout=args.timeout) for p in procs]
+    try:
+        rc = [p.wait(timeout=args.timeout) for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:  # never leave orphan ranks fighting for the host
+            if p.poll() is None:
+                p.kill()
+        rc = [p.wait() for p in procs]
+        print(f"TIMEOUT after {args.timeout}s; ranks killed", flush=True)
     for log in logs:
         log.close()
     dt = time.time() - t0
