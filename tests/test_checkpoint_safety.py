@@ -416,3 +416,24 @@ def test_load_model_for_inference_mdn(tmp_path):
                      jax.random.PRNGKey(1), n_steps=2)
     assert out.shape == (1, m2.tot_ds * 10)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_prepare_run_dir_bookkeeping_only_continues(tmp_path):
+    """A run dir holding only bookkeeping files (run_id/heartbeat/metrics
+    — a run that died before its first checkpoint) must be continuable
+    WITHOUT --fresh: watchdog restarts land here and appending to
+    metrics.jsonl destroys nothing (round-4 crash-loop incident)."""
+    d = tmp_path / "run"
+    info0 = prepare_run_dir(d)  # fresh dir, mints run id
+    (d / "heartbeat.json").write_text('{"step": 0}')
+    (d / "metrics.jsonl").write_text('{"step": 1}\n')
+    info = prepare_run_dir(d)  # no fresh flag — must NOT raise
+    assert info["resume"] is False
+    assert info["run_id"] == info0["run_id"]
+    assert (d / "metrics.jsonl").exists()  # nothing archived or deleted
+
+    # but once a checkpoint-ish asset exists, the rail still refuses
+    (d / "best.json").write_text('{"step": 5, "score": 1.0}')
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="refusing"):
+        prepare_run_dir(d)
