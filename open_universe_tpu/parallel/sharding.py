@@ -99,7 +99,15 @@ def make_parallel_train_step(trainer, mesh: Mesh,
     repl = replicated(mesh)
     state_shardings = []  # computed once; the state structure is fixed
 
-    @partial(jax.jit, donate_argnums=(0,))
+    # explicit replicated out_shardings (pytree prefix: whole new_state +
+    # all metrics): without it GSPMD may place scalar metrics on a single
+    # device, which is non-addressable from other processes — fetching
+    # them then desyncs the ranks (observed: Gloo shutdown-barrier
+    # deadline in the 2-process CLI run). Tensor-sharded mode keeps the
+    # compiler's choice (params are deliberately not replicated there).
+    out_sh = None if model_sharding else (repl, repl)
+
+    @partial(jax.jit, donate_argnums=(0,), out_shardings=out_sh)
     def step(state, batch, key):
         return trainer.train_step(state, batch, key)
 

@@ -56,7 +56,7 @@ def main():
 
     def step(state, mix, tgt, key):
         new_state, metrics = trainer.train_step(state, (mix, tgt), key)
-        return new_state, metrics["loss_gen"]
+        return new_state, metrics["train/loss_gen"]
 
     jitted = jax.jit(step, donate_argnums=(0,))
     lowered = jitted.lower(state, mix, tgt, key)
