@@ -74,6 +74,7 @@ def main(argv=None):
         save_best_checkpoint,
         save_checkpoint,
         snapshot_best,
+        snapshot_last,
     )
     from ..training.watchdog import write_heartbeat
     from ..training.cloud_sync import CloudBackup
@@ -307,6 +308,13 @@ def main(argv=None):
             if step % run.get("ckpt_every", 5000) == 0 and is_rank_zero():
                 save_checkpoint(ckpt_dir, step, jax.device_get(state),
                                 config=cfg, keep_last=run.get("keep_last", 2))
+                # session-boundary handoff: mirror the latest FULL train
+                # state to a committable artifact (the run dir itself is
+                # typically gitignored/ephemeral); ~1% overhead at 1k-step
+                # cadence for a 1.1 GB full-size state
+                if run.get("last_snapshot_dir"):
+                    snapshot_last(ckpt_dir, run["last_snapshot_dir"],
+                                  include_best=False)
                 backup.trigger()
         epoch += 1
 

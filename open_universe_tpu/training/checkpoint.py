@@ -190,6 +190,93 @@ def snapshot_best(ckpt_dir, dest) -> None:
     os.replace(tmp, dest)
 
 
+def snapshot_last(ckpt_dir, dest, include_best: bool = True) -> Optional[int]:
+    """Copy the latest full train-state checkpoint to ``dest`` as a
+    RESUMABLE run dir (``dest/step_N`` + ``last.json`` + config/run-id,
+    plus ``best``/``best.json`` when ``include_best``).
+
+    Complements :func:`snapshot_best` (which captures only the
+    best-metric state, enough to *serve* but which loses optimizer
+    progress past the best step): ``snapshot_last`` is the
+    session-boundary handoff — commit ``dest`` to the repo and a later
+    session rebuilds the live run dir with :func:`restore_run_dir` and
+    continues the schedule from step N with full optimizer/EMA state.
+    Atomic like ``snapshot_best`` (write ``dest.tmp`` then rename).
+    Returns the snapshotted step, or None when no checkpoint exists.
+    """
+    ckpt_dir, dest = Path(ckpt_dir), Path(dest)
+    step = latest_step(ckpt_dir)
+    if step is None or not (ckpt_dir / f"step_{step}").exists():
+        return None
+    tmp = dest.with_name(dest.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    shutil.copytree(ckpt_dir / f"step_{step}", tmp / f"step_{step}")
+    for meta in ("last.json", "config.yaml", "run_id.json"):
+        if (ckpt_dir / meta).exists():
+            shutil.copy(ckpt_dir / meta, tmp / meta)
+    if include_best and (ckpt_dir / "best").exists():
+        shutil.copytree(ckpt_dir / "best", tmp / "best")
+        if (ckpt_dir / "best.json").exists():
+            shutil.copy(ckpt_dir / "best.json", tmp / "best.json")
+    if dest.exists():
+        shutil.rmtree(dest)
+    os.replace(tmp, dest)
+    return step
+
+
+def restore_run_dir(snapshot, ckpt_dir) -> int:
+    """Rebuild a live, resumable run dir at ``ckpt_dir`` from a committed
+    snapshot (the inverse of :func:`snapshot_last`; also accepts a
+    best-only :func:`snapshot_best` dir, synthesizing ``step_N`` and
+    ``last.json`` from ``best``/``best.json`` — resuming then repeats
+    steps after N, which the trajectory-aware log rebuild
+    (scripts/log_to_jsonl.py) already de-duplicates).
+
+    Uses hardlink copies when source and dest share a filesystem (Orbax
+    never mutates checkpoint files in place, so links are safe) and
+    refuses to overwrite an existing populated ``ckpt_dir``.
+    Returns the resumable step.
+    """
+    snapshot, ckpt_dir = Path(snapshot), Path(ckpt_dir)
+    if run_dir_has_checkpoints(ckpt_dir) or (ckpt_dir / "last.json").exists():
+        raise RuntimeError(
+            f"refusing to rebuild into populated run dir {ckpt_dir}; "
+            f"remove it or point elsewhere")
+
+    def _copy(src, dst):
+        try:
+            shutil.copytree(src, dst, copy_function=os.link)
+        except OSError:
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(src, dst)
+
+    step = latest_step(snapshot)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    if step is not None and (snapshot / f"step_{step}").exists():
+        _copy(snapshot / f"step_{step}", ckpt_dir / f"step_{step}")
+        shutil.copy(snapshot / "last.json", ckpt_dir / "last.json")
+    else:  # best-only snapshot
+        bstep = best_step(snapshot)
+        if bstep is None or not (snapshot / "best").exists():
+            raise FileNotFoundError(
+                f"{snapshot} holds neither a last nor a best checkpoint")
+        step = bstep
+        _copy(snapshot / "best", ckpt_dir / f"step_{step}")
+        rid = _run_id(snapshot)
+        with open(ckpt_dir / "last.json", "w") as f:
+            json.dump({"step": step, "run_id": rid}, f)
+    if (snapshot / "best").exists() and not (ckpt_dir / "best").exists():
+        _copy(snapshot / "best", ckpt_dir / "best")
+        if (snapshot / "best.json").exists():
+            shutil.copy(snapshot / "best.json", ckpt_dir / "best.json")
+    for meta in ("config.yaml", "run_id.json"):
+        if (snapshot / meta).exists() and not (ckpt_dir / meta).exists():
+            shutil.copy(snapshot / meta, ckpt_dir / meta)
+    return step
+
+
 def best_step(ckpt_dir) -> Optional[int]:
     best = Path(ckpt_dir) / "best.json"
     if not best.exists():

@@ -154,6 +154,60 @@ def test_snapshot_best_is_loadable(tmp_path):
     assert not snap.with_name(snap.name + ".tmp").exists()
 
 
+def test_snapshot_last_roundtrips_to_resumable_run_dir(tmp_path):
+    """Session-boundary handoff: snapshot_last captures the latest FULL
+    train state; restore_run_dir rebuilds a live dir that
+    prepare_run_dir resumes (same run-id, same step) — the rail that
+    lets a committed artifact continue a run across driver sessions
+    where the gitignored exp/ dir does not survive."""
+    import numpy as np
+
+    from open_universe_tpu.training.checkpoint import (
+        restore_checkpoint,
+        restore_run_dir,
+        snapshot_last,
+    )
+
+    d = tmp_path / "run"
+    info0 = prepare_run_dir(d)
+    state = {"w": np.arange(6, dtype=np.float32)}
+    save_checkpoint(d, 4, state, config={"a": 1})
+    save_best_checkpoint(d, 4, state, 0.5)
+    save_checkpoint(d, 9, {"w": state["w"] * 2}, config={"a": 1})
+    snap = tmp_path / "artifacts" / "last_snapshot"
+    assert snapshot_last(d, snap) == 9
+    assert json.loads((snap / "last.json").read_text())["step"] == 9
+    assert (snap / "best.json").exists()  # include_best default
+
+    live = tmp_path / "run2"
+    assert restore_run_dir(snap, live) == 9
+    info = prepare_run_dir(live)
+    assert info["resume"] is True
+    assert info["run_id"] == info0["run_id"]
+    restored, step = restore_checkpoint(
+        live, {"w": np.zeros(6, dtype=np.float32)})
+    assert step == 9 and np.allclose(restored["w"], state["w"] * 2)
+    # best survives the roundtrip for the monitor comparison
+    restored_b, bstep = restore_checkpoint(
+        live, {"w": np.zeros(6, dtype=np.float32)}, step="best")
+    assert bstep == 4 and np.allclose(restored_b["w"], state["w"])
+
+    # refuses to clobber a populated run dir
+    with pytest.raises(RuntimeError, match="refusing"):
+        restore_run_dir(snap, live)
+
+    # best-only snapshots (snapshot_best layout) are also resumable:
+    # step_N is synthesized from best/best.json
+    bsnap = tmp_path / "artifacts" / "best_snapshot"
+    snapshot_best(d, bsnap)
+    live2 = tmp_path / "run3"
+    assert restore_run_dir(bsnap, live2) == 4
+    assert prepare_run_dir(live2)["resume"] is True
+    restored2, step2 = restore_checkpoint(
+        live2, {"w": np.zeros(6, dtype=np.float32)})
+    assert step2 == 4 and np.allclose(restored2["w"], state["w"])
+
+
 # ------------------------------------------------------------- watchdog
 # child processes run with a bare env: the container's sitecustomize
 # registers a PJRT plugin at interpreter start (~2 s), which is noise
