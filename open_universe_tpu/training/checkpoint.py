@@ -20,6 +20,22 @@ def _ckptr():
     return ocp.StandardCheckpointer()
 
 
+def _swap_in(tmp: Path, dest: Path) -> None:
+    """Atomically promote ``tmp`` to ``dest`` with a valid snapshot on
+    disk at every instant: rename the old dest aside, rename tmp in,
+    then delete the old copy. The previous rmtree(dest)-then-replace
+    sequence had a window with NO dest at all — a kill landing there
+    (the watchdog's stall kill, or the runbook's kill-by-pid) left only
+    ``dest.tmp`` and an empty artifact."""
+    old = dest.with_name(dest.name + ".old")
+    if old.exists():
+        shutil.rmtree(old)
+    if dest.exists():
+        os.replace(dest, old)
+    os.replace(tmp, dest)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def run_dir_has_checkpoints(ckpt_dir) -> bool:
     """True when ckpt_dir already holds run assets a fresh start could
     destroy (checkpoints, a best pointer, or a metrics log)."""
@@ -185,9 +201,7 @@ def snapshot_best(ckpt_dir, dest) -> None:
     for meta in ("best.json", "config.yaml", "run_id.json"):
         if (ckpt_dir / meta).exists():
             shutil.copy(ckpt_dir / meta, tmp / meta)
-    if dest.exists():
-        shutil.rmtree(dest)
-    os.replace(tmp, dest)
+    _swap_in(tmp, dest)
 
 
 def snapshot_last(ckpt_dir, dest, include_best: bool = True) -> Optional[int]:
@@ -213,16 +227,18 @@ def snapshot_last(ckpt_dir, dest, include_best: bool = True) -> Optional[int]:
         shutil.rmtree(tmp)
     tmp.mkdir(parents=True)
     shutil.copytree(ckpt_dir / f"step_{step}", tmp / f"step_{step}")
-    for meta in ("last.json", "config.yaml", "run_id.json"):
+    # best.json travels UNCONDITIONALLY: save_best_checkpoint compares
+    # against best.json alone, so a restored run dir without it would
+    # treat the first post-resume validation as an unconditional best
+    # and silently overwrite the committed best artifact with a
+    # potentially worse checkpoint. include_best gates only the heavy
+    # best/ checkpoint dir.
+    for meta in ("last.json", "best.json", "config.yaml", "run_id.json"):
         if (ckpt_dir / meta).exists():
             shutil.copy(ckpt_dir / meta, tmp / meta)
     if include_best and (ckpt_dir / "best").exists():
         shutil.copytree(ckpt_dir / "best", tmp / "best")
-        if (ckpt_dir / "best.json").exists():
-            shutil.copy(ckpt_dir / "best.json", tmp / "best.json")
-    if dest.exists():
-        shutil.rmtree(dest)
-    os.replace(tmp, dest)
+    _swap_in(tmp, dest)
     return step
 
 
@@ -248,6 +264,14 @@ def restore_run_dir(snapshot, ckpt_dir) -> int:
     def _copy(src, dst):
         try:
             shutil.copytree(src, dst, copy_function=os.link)
+            # hardlinks share inodes with the committed artifact; make
+            # them read-only so any future in-place mutation of a
+            # run-dir checkpoint file fails loudly instead of silently
+            # corrupting the artifact (rmtree/unlink still work — they
+            # need directory perms, not file perms)
+            for root, _, files in os.walk(dst):
+                for f in files:
+                    os.chmod(Path(root) / f, 0o444)
         except OSError:
             shutil.rmtree(dst, ignore_errors=True)
             shutil.copytree(src, dst)
@@ -269,8 +293,13 @@ def restore_run_dir(snapshot, ckpt_dir) -> int:
             json.dump({"step": step, "run_id": rid}, f)
     if (snapshot / "best").exists() and not (ckpt_dir / "best").exists():
         _copy(snapshot / "best", ckpt_dir / "best")
-        if (snapshot / "best.json").exists():
-            shutil.copy(snapshot / "best.json", ckpt_dir / "best.json")
+    # best.json restores even when the heavy best/ dir was not
+    # snapshotted: it carries the monitor threshold that keeps
+    # save_best_checkpoint from treating the first post-resume
+    # validation as an unconditional improvement
+    if (snapshot / "best.json").exists() \
+            and not (ckpt_dir / "best.json").exists():
+        shutil.copy(snapshot / "best.json", ckpt_dir / "best.json")
     for meta in ("config.yaml", "run_id.json"):
         if (snapshot / meta).exists() and not (ckpt_dir / meta).exists():
             shutil.copy(snapshot / meta, ckpt_dir / meta)

@@ -60,6 +60,10 @@ class GanTrainConfig:
     grad_clip_cond: float = 1000.0
     grad_clip_mpd: float = 1000.0
     grad_clip_mrd: float = 1000.0
+    # the signal-decoupling head is OUR addition to the generator
+    # optimizer (the reference omits it from both optimizers,
+    # universe_gan.py:390, so it also never clips it); None = unclipped
+    grad_clip_decoupling: Optional[float] = None
     # scheduler, in scheduler-steps = 2 x batches (see schedules.py note)
     t_warmup: int = 20000
     t_cosine: int = 400000
@@ -83,6 +87,14 @@ class GanTrainConfig:
     # remat they are recomputed in the backward instead of held in HBM,
     # which is what lets batch 64 fit on a 16 GB chip
     remat_disc: bool = False
+    # gradient-attribution diagnostics (~3x step cost: one extra vjp
+    # pullback per loss family). Logs, per generator subtree, the
+    # pre-clip grad norm contributed by (a) the score MSE, (b) the L1
+    # mel term, (c) the GAN generator/feature-matching terms, plus
+    # per-submodule conditioner norms and weight-norm parameter
+    # magnitudes — the instrumentation used to root-cause the round-4
+    # late-run grad/cond explosion
+    debug_grads: bool = False
 
 
 @struct.dataclass
@@ -133,7 +145,8 @@ class GanTrainer:
         # accumulation the applied update is clip(mean(g)), not mean(clip(g))
         self.gen_tx = optax.chain(
             clip_subtrees_transform({"score": cfg.grad_clip_score,
-                                     "cond": cfg.grad_clip_cond}),
+                                     "cond": cfg.grad_clip_cond,
+                                     "decoupling": cfg.grad_clip_decoupling}),
             optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]),
             optax.add_decayed_weights(cfg.weight_decay, mask=_wd_mask),
             optax.scale_by_learning_rate(self._sched),
@@ -330,6 +343,47 @@ class GanTrainer:
         # clipping happens inside gen_tx; norms here are logging-only
         gn_score = global_norm(gen_grads["score"])
         gn_cond = global_norm(gen_grads["cond"])
+        gn_dec = (global_norm(gen_grads["decoupling"])
+                  if "decoupling" in gen_grads else jnp.zeros(()))
+
+        debug_metrics = {}
+        if cfg.debug_grads:
+            # attribute the generator gradient to each loss family by
+            # pulling back each family's cotangent separately through the
+            # SAME saved linearization (no extra forwards without remat)
+            zero_s = jnp.zeros_like(score)
+            zero_y = jnp.zeros_like(y_est)
+            d_score_term = jax.grad(
+                lambda s: cfg.weight_score * jnp.mean(
+                    (sigma[:, None, None] * s + z) ** 2))(score)
+            d_mel_term = jax.grad(
+                lambda y: cfg.weight_mel_l1 * jnp.mean(jnp.abs(
+                    model.compute_mel_spec(y) - mel_target)))(y_est)
+
+            def gan_terms(y):
+                fm_f, gen_f = _mpd_gen_losses(
+                    new_disc_params["mpd"], target_original, y)
+                fm_s, gen_s = _mrd_gen_losses(
+                    new_disc_params["mrd"], target_original, y)
+                return gate * (gen_s + gen_f + fm_s + fm_f)
+
+            d_gan_term = jax.grad(gan_terms)(y_est)
+            for name, cot in (("score_mse", (d_score_term, zero_y)),
+                              ("mel_l1", (zero_s, d_mel_term)),
+                              ("gan", (zero_s, d_gan_term))):
+                (g,) = gen_vjp(cot)
+                for sub in ("cond", "score", "decoupling"):
+                    if sub in g:
+                        debug_metrics[f"gdbg/{sub}_from_{name}"] = \
+                            global_norm(g[sub])
+            # per-submodule conditioner grad norms + weight-norm parameter
+            # magnitudes (kernel_v growth rescales effective grads)
+            for sub, tree in gen_grads["cond"].items():
+                debug_metrics[f"gdbg/cond.{sub}"] = global_norm(tree)
+            for sub, tree in state.gen_params["cond"].items():
+                debug_metrics[f"pnorm/cond.{sub}"] = global_norm(tree)
+            debug_metrics["pnorm/score"] = global_norm(
+                state.gen_params["score"])
 
         upd, new_gen_opt = self.gen_tx.update(gen_grads, state.gen_opt,
                                               state.gen_params)
@@ -350,10 +404,12 @@ class GanTrainer:
             "train/mrd_fm": gen_aux["mrd_fm"],
             "grad/score": gn_score,
             "grad/cond": gn_cond,
+            "grad/decoupling": gn_dec,
             "grad/mpd": gn_mpd,
             "grad/mrd": gn_mrd,
             "lr": self._lr_metric(state.step),
         }
+        metrics.update(debug_metrics)
 
         new_state = GanTrainState(
             gen_params=new_gen_params,

@@ -16,7 +16,13 @@ def linear_warmup_cosine_annealing(base_lr: float, t_warmup: int,
                                    t_cosine: int, t_max: int,
                                    eta_min: float = 0.0):
     def schedule(step):
-        step = jnp.asarray(step, jnp.float32)
+        # clamp: past t_max the schedule stays at eta_min. Without this
+        # the cosine keeps evolving and the LR CYCLES back up toward
+        # base_lr (observed in the round-4 quality run: the schedule hit
+        # t_max at batch 15000 and the logged lr then climbed 0 -> 1e-4
+        # by batch 17500, silently turning the tail of the run into
+        # warm restarts).
+        step = jnp.minimum(jnp.asarray(step, jnp.float32), float(t_max))
         warm = eta_min + (base_lr - eta_min) * step / max(t_warmup, 1)
         num = step - t_cosine
         denom = max(t_max - t_cosine, 1)

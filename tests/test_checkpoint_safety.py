@@ -208,6 +208,61 @@ def test_snapshot_last_roundtrips_to_resumable_run_dir(tmp_path):
     assert step2 == 4 and np.allclose(restored2["w"], state["w"])
 
 
+def test_snapshot_last_without_best_dir_keeps_monitor_threshold(tmp_path):
+    """The in-loop mirror runs include_best=False (the heavy best/ dir
+    is snapshotted separately on improvement) — but best.json must
+    STILL travel, or a restored run dir would treat the first
+    post-resume validation as an unconditional best and overwrite the
+    committed best artifact with a worse checkpoint (round-4 advisor
+    finding, bin/train.py:316)."""
+    import numpy as np
+
+    from open_universe_tpu.training.checkpoint import (
+        restore_run_dir,
+        snapshot_last,
+    )
+
+    d = tmp_path / "run"
+    prepare_run_dir(d)
+    state = {"w": np.arange(4, dtype=np.float32)}
+    save_checkpoint(d, 5, state, config={"a": 1})
+    save_best_checkpoint(d, 5, state, 1.72, minimize=False)
+    snap = tmp_path / "artifacts" / "last_only"
+    assert snapshot_last(d, snap, include_best=False) == 5
+    assert not (snap / "best").exists()
+    assert json.loads((snap / "best.json").read_text())["score"] == 1.72
+
+    live = tmp_path / "run2"
+    restore_run_dir(snap, live)
+    # a WORSE post-resume score must not become the new best
+    assert save_best_checkpoint(live, 6, state, 1.60,
+                                minimize=False) is False
+    # a better one still does
+    assert save_best_checkpoint(live, 7, state, 1.80,
+                                minimize=False) is True
+
+
+def test_snapshot_swap_never_leaves_missing_dest(tmp_path):
+    """Snapshot promotion renames the old dest aside instead of
+    rmtree-ing it first, so a valid snapshot dir exists at every
+    instant and no .tmp/.old debris survives a successful swap."""
+    import numpy as np
+
+    from open_universe_tpu.training.checkpoint import snapshot_last
+
+    d = tmp_path / "run"
+    prepare_run_dir(d)
+    state = {"w": np.zeros(3, dtype=np.float32)}
+    save_checkpoint(d, 1, state, config={})
+    snap = tmp_path / "artifacts" / "snap"
+    assert snapshot_last(d, snap) == 1
+    save_checkpoint(d, 2, state, config={})
+    assert snapshot_last(d, snap) == 2  # overwrite path exercised
+    assert json.loads((snap / "last.json").read_text())["step"] == 2
+    assert not snap.with_name(snap.name + ".tmp").exists()
+    assert not snap.with_name(snap.name + ".old").exists()
+
+
 # ------------------------------------------------------------- watchdog
 # child processes run with a bare env: the container's sitecustomize
 # registers a PJRT plugin at interpreter start (~2 s), which is noise

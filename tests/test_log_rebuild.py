@@ -63,7 +63,7 @@ def test_intentional_rewind_keeps_only_surviving_trajectory(tmp_path):
     assert train10k["train/loss"] == 0.42  # continuation row, not 0.5
 
 
-def test_malformed_counted_and_nan_serializes_null(tmp_path):
+def test_malformed_counted_and_nan_serializes_null(tmp_path, monkeypatch):
     log = tmp_path / "run.log"
     log.write_text("\n".join([
         "[100] train/loss=1.0 garbage-token",   # malformed: no k=v
@@ -74,7 +74,7 @@ def test_malformed_counted_and_nan_serializes_null(tmp_path):
     assert n_skipped == 2
     assert len(rows) == 1
     out = tmp_path / "m.jsonl"
-    sys.argv = ["log_to_jsonl", str(log), str(out)]
+    monkeypatch.setattr(sys, "argv", ["log_to_jsonl", str(log), str(out)])
     log_to_jsonl.main()
     payload = [json.loads(line) for line in out.read_text().splitlines()]
     assert payload[0]["skipped_malformed_lines"] == 2  # provenance row
