@@ -65,7 +65,11 @@ def main(argv=None):
     from ..config import load_config
     from ..metrics.eval import EvalMetrics
     from ..parallel import default_mesh, make_parallel_train_step
-    from ..parallel.multihost import initialize_distributed, is_rank_zero
+    from ..parallel.multihost import (
+        final_sync,
+        initialize_distributed,
+        is_rank_zero,
+    )
     from ..runtime import build_datamodule, build_model, build_trainer
     from ..training.checkpoint import (
         latest_step,
@@ -124,21 +128,33 @@ def main(argv=None):
     from ..runtime import host_init
 
     if cfg["trainer"].get("kind") == "lora":
-        state = host_init(trainer.init, k_init)
+        init_kwargs = {}
     elif cfg["trainer"].get("kind") == "mdn":
-        state = host_init(trainer.init, k_init,
-                          batch=cfg["datamodule"].get("batch_size", 8))
+        init_kwargs = {"batch": cfg["datamodule"].get("batch_size", 8)}
     else:
         # params are length-independent; init with a short example
-        init_len = min(audio_len, model.tot_ds * 10)
-        state = host_init(trainer.init, k_init, example_len=init_len,
-                          batch=cfg["datamodule"].get("batch_size", 8))
+        init_kwargs = {"example_len": min(audio_len, model.tot_ds * 10),
+                       "batch": cfg["datamodule"].get("batch_size", 8)}
 
     ckpt_dir = Path(run["ckpt_dir"])
     start_step = 0
     if latest_step(ckpt_dir) is not None:
-        state, start_step = restore_checkpoint(ckpt_dir, state)
+        # resume: the init values are discarded, so don't compute them —
+        # eval_shape traces the state template with zero compute/compiles
+        # (the full-size eager host init is hundreds of small op compiles,
+        # measured 4-20+ min on a contended 2-vCPU host; it made resumes
+        # look like startup wedges). One pinned device_put after restore,
+        # same as host_init (see runtime.host_init for why the explicit
+        # target matters for donation).
+        import functools
+
+        template = jax.eval_shape(
+            functools.partial(trainer.init, **init_kwargs), k_init)
+        state, start_step = restore_checkpoint(ckpt_dir, template)
+        state = jax.device_put(state, jax.local_devices()[0])
         print(f"resumed from {ckpt_dir} @ step {start_step}")
+    else:
+        state = host_init(trainer.init, k_init, **init_kwargs)
 
     import math as _math
 
@@ -318,12 +334,20 @@ def main(argv=None):
                 backup.trigger()
         epoch += 1
 
-    if is_rank_zero():
+    # skip the final save when the loop already checkpointed this exact
+    # step (max_steps a multiple of ckpt_every — the common case); the
+    # redundant re-serialization doubled the shutdown tail
+    if is_rank_zero() and step % run.get("ckpt_every", 5000) != 0:
         save_checkpoint(ckpt_dir, step, jax.device_get(state), config=cfg,
                         keep_last=run.get("keep_last", 2))
     backup.trigger()
     backup.wait()
     mlog.close()
+    # all ranks must reach the distributed shutdown barrier together —
+    # rank 0's checkpoint write above can outlast the barrier's ~5 min
+    # deadline on a contended host, killing an otherwise-complete run
+    # (see parallel.multihost.final_sync)
+    final_sync()
     print(f"training done at step {step}; checkpoints in {ckpt_dir}")
 
 
