@@ -66,6 +66,7 @@ def main(argv=None):
     from ..metrics.eval import EvalMetrics
     from ..parallel import default_mesh, make_parallel_train_step
     from ..parallel.multihost import (
+        align_processes,
         final_sync,
         initialize_distributed,
         is_rank_zero,
@@ -220,6 +221,13 @@ def main(argv=None):
         write_heartbeat(heartbeat_file, step)
 
     write_heartbeat(heartbeat_file, start_step)
+
+    # multi-process: leave the per-rank startup jitter (datamodule scan,
+    # init/restore, logger setup) at a generous coordination-service
+    # barrier so the first sharded dispatch — whose Gloo context
+    # rendezvous has a hard ~30 s deadline on the CPU backend — happens
+    # in lockstep (parallel.multihost.align_processes)
+    align_processes("pre_train_loop")
 
     step = start_step
     max_steps = run["max_steps"]

@@ -63,6 +63,31 @@ def all_mean_scalar_dict(metrics: dict) -> dict:
             for i, k in enumerate(keys)}
 
 
+def align_processes(tag: str = "pre_train", timeout_ms: int = 1_200_000):
+    """Coordination-service barrier (NOT a device collective; no-op
+    single-host).
+
+    XLA:CPU's Gloo pair-context rendezvous gives each peer lookup a hard
+    ~30 s KV deadline, so the FIRST device collective fails outright if
+    the processes dispatch it more than ~30 s apart (compile-time skew is
+    routinely minutes when one rank hits a warm compile cache). This
+    barrier rides the jax.distributed coordination service instead —
+    its timeout is configurable and generous — so ranks leave it within
+    milliseconds of each other and every subsequent Gloo context forms
+    inside the deadline. Call it right before the first sharded dispatch.
+    """
+    if jax.process_count() == 1:
+        return
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(tag, timeout_ms)
+    except (ImportError, AttributeError):  # pragma: no cover - jax internals
+        pass  # fall back to hoping dispatch skew is small
+
+
 def final_sync(tag: str = "train_end") -> None:
     """Block until every process reaches this point (no-op single-host).
 

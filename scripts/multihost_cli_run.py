@@ -71,6 +71,17 @@ def main():
         env = dict(os.environ)
         env.update({
             "JAX_PLATFORMS": "cpu",
+            # XLA:CPU's Gloo pair-context rendezvous has a hard 30 s
+            # KV-store deadline; the shared persistent compile cache
+            # SERIALIZES the ranks' AOT loads (file locks), so a
+            # cache-warm rank dispatches its first collective minutes
+            # before the other and dies in that deadline (observed:
+            # rank0 JaxRuntimeError "Gloo context initialization failed:
+            # DEADLINE_EXCEEDED" on an otherwise idle host). Cold
+            # symmetric compiles keep every dispatch aligned; the
+            # pre-loop coordination barrier in bin/train covers the
+            # residual jitter.
+            "JAX_ENABLE_COMPILATION_CACHE": "false",
             "XLA_FLAGS": ("--xla_force_host_platform_device_count=%d"
                           % args.n_dev),
             "JAX_COORDINATOR_ADDRESS": coord,
