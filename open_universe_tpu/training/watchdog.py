@@ -26,9 +26,17 @@ from pathlib import Path
 
 
 def write_heartbeat(path, step: int, extra: dict = None):
-    """Atomically write the heartbeat file (tmp + rename)."""
+    """Atomically write the heartbeat file (tmp + rename).
+
+    The tmp name is per-PID: in a multi-process run every rank beats the
+    shared run dir's heartbeat, and a shared tmp name races — one rank's
+    os.replace consumes another's tmp and the loser dies FileNotFoundError
+    mid-logging (observed killing rank 1 of the real-CLI 2-process run at
+    its final validation). Concurrent winners just overwrite the target,
+    which is fine — any fresh beat proves liveness.
+    """
     path = Path(path)
-    tmp = path.with_suffix(".tmp")
+    tmp = path.with_suffix(f".tmp.{os.getpid()}")
     payload = {"step": int(step), "time": time.time()}
     if extra:
         payload.update(extra)
